@@ -1,0 +1,145 @@
+"""Dataset loaders — parity surface with /root/reference/URSABench/datasets.py.
+
+``loaders(...)`` mirrors the reference signature and semantics
+(datasets.py:138-261): validation = random permuted split of train
+(:198-211), CIFAR10 class splits via ``c10_classes`` (:11-14, :224-242),
+decision-task imbalance injection (:173-195 + util.py:356-377), SVHN val
+slicing (:61-98), STL10 class remap (:160-163). Returns array-backed
+``DataSplit`` objects instead of torch DataLoaders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .arrays import DataSplit
+from .sources import DATASET_PROFILES, load_raw, synthetic
+from .transforms import ImageSpec
+
+c10_classes = np.array([[0, 1, 2, 8, 9], [3, 4, 5, 6, 7]], dtype=np.int32)
+
+# imbalance config per dataset: (labels, remove_frac)
+# (datasets.py:173-195)
+_IMBALANCE = {
+    "MNIST": ([3, 7], 0.99),
+    "CIFAR10": ([0, 1, 8, 9], 0.9),
+    "CIFAR100": ([58, 69, 85], 0.9),
+}
+
+
+def increase_data_imbalance(
+    labels: np.ndarray, images: np.ndarray, label: int, remove_frac: float = 0.9
+):
+    """Keep only the first ``N - remove_frac*N`` instances of ``label``
+    (deterministic path of /root/reference/URSABench/util.py:356-377)."""
+    mask = labels == label
+    ind = np.where(mask)[0]
+    n = len(ind)
+    ind_keep = int(n - remove_frac * n)
+    mask[ind[:ind_keep]] = False
+    keep = ~mask
+    return labels[keep], images[keep]
+
+
+def loaders(
+    dataset: str,
+    path: str | None,
+    batch_size: int,
+    num_workers: int = 0,  # accepted for signature parity; array pipeline needs none
+    transform_train: ImageSpec | None = None,
+    transform_test: ImageSpec | None = None,
+    use_validation: bool = True,
+    val_size: float = 0.2,
+    split_classes: int | None = None,
+    shuffle_train: bool = True,
+    imbalance: bool = False,
+    seed: int = 0,
+    synthetic_n_train: int | None = None,
+    synthetic_n_test: int | None = None,
+):
+    del num_workers
+    if dataset == "SVHN":
+        return _svhn_loaders(
+            path, batch_size, transform_train, transform_test,
+            use_validation, val_size, shuffle_train,
+            synthetic_n_train, synthetic_n_test,
+        )
+
+    x_tr, y_tr, _ = load_raw(dataset, path, train=True, synthetic_n=synthetic_n_train)
+    num_classes = int(y_tr.max()) + 1
+
+    if imbalance and dataset in _IMBALANCE:
+        labels, frac = _IMBALANCE[dataset]
+        for l in labels:
+            y_tr, x_tr = increase_data_imbalance(y_tr, x_tr, l, remove_frac=frac)
+
+    if use_validation:
+        n_val = int(len(x_tr) * val_size)
+        rng = np.random.Generator(np.random.Philox(seed))
+        r_ind = rng.permutation(len(x_tr))
+        x_te, y_te = x_tr[r_ind[-n_val:]], y_tr[r_ind[-n_val:]]
+        x_tr, y_tr = x_tr[r_ind[:-n_val]], y_tr[r_ind[:-n_val]]
+    else:
+        x_te, y_te, _ = load_raw(dataset, path, train=False, synthetic_n=synthetic_n_test)
+
+    if split_classes is not None:
+        assert dataset == "CIFAR10" and split_classes in (0, 1)
+        sel = c10_classes[split_classes]
+        x_tr, y_tr = _remap_split(x_tr, y_tr, sel)
+        x_te, y_te = _remap_split(x_te, y_te, sel)
+        num_classes = len(sel)
+
+    spec_tr = transform_train or ImageSpec(
+        x_tr.shape[1], x_tr.shape[3], (0.5,) * x_tr.shape[3], (0.5,) * x_tr.shape[3]
+    )
+    spec_te = transform_test or spec_tr
+    return (
+        {
+            "train": DataSplit(x_tr, y_tr, batch_size, spec_tr,
+                               shuffle=shuffle_train, dataset_name=dataset),
+            "test": DataSplit(x_te, y_te, batch_size, spec_te,
+                              shuffle=False, dataset_name=dataset),
+        },
+        num_classes,
+    )
+
+
+def _remap_split(x, y, sel):
+    mask = np.isin(y, sel)
+    x, y = x[mask], y[mask]
+    y = np.where(y[:, None] == sel[None, :])[1]
+    return x, y
+
+
+def _svhn_loaders(
+    path, batch_size, transform_train, transform_test,
+    use_validation, val_size, shuffle_train,
+    synthetic_n_train, synthetic_n_test,
+):
+    """SVHN uses trailing-slice validation, not a permuted split
+    (datasets.py:61-98); the test set is truncated to 10000."""
+    x_tr, y_tr, _ = load_raw("SVHN", path, train=True, synthetic_n=synthetic_n_train)
+    if use_validation:
+        v = int(val_size if val_size > 1 else len(x_tr) * val_size)
+        x_te, y_te = x_tr[-v:], y_tr[-v:]
+        x_tr, y_tr = x_tr[:-v], y_tr[:-v]
+    else:
+        x_te, y_te, _ = load_raw("SVHN", path, train=False, synthetic_n=synthetic_n_test)
+        x_te, y_te = x_te[:10000], y_te[:10000]
+    spec_tr = transform_train or ImageSpec(32, 3, (0.5,) * 3, (0.5,) * 3)
+    spec_te = transform_test or spec_tr
+    return (
+        {
+            "train": DataSplit(x_tr, y_tr, batch_size, spec_tr,
+                               shuffle=shuffle_train, dataset_name="SVHN"),
+            "test": DataSplit(x_te, y_te, batch_size, spec_te,
+                              shuffle=False, dataset_name="SVHN"),
+        },
+        10,
+    )
+
+
+__all__ = [
+    "loaders", "DataSplit", "ImageSpec", "c10_classes",
+    "increase_data_imbalance", "DATASET_PROFILES", "synthetic",
+]

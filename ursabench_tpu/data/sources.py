@@ -1,0 +1,181 @@
+"""Raw dataset readers + deterministic synthetic fallback.
+
+The reference relies on torchvision's downloaders
+(/root/reference/URSABench/datasets.py:150-171). This environment has no
+network egress, so we read the standard on-disk binary formats directly
+(MNIST idx, CIFAR pickle batches, SVHN .mat, STL-10 bin) when present under
+``path`` and otherwise produce a *deterministic synthetic* dataset with the
+same shape/cardinality profile: class-conditional templates + noise, so
+models genuinely learn and every downstream metric is exercised.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+from typing import Tuple
+
+import numpy as np
+
+# name -> (size, channels, num_classes, n_train, n_test)
+DATASET_PROFILES = {
+    "MNIST": (28, 1, 10, 60000, 10000),
+    "FashionMNIST": (28, 1, 10, 60000, 10000),
+    "KMNIST": (28, 1, 10, 60000, 10000),
+    "CIFAR10": (32, 3, 10, 50000, 10000),
+    "CIFAR100": (32, 3, 100, 50000, 10000),
+    "SVHN": (32, 3, 10, 73257, 10000),
+    "STL10": (32, 3, 10, 5000, 8000),
+    "TIN": (64, 3, 200, 100000, 10000),
+}
+
+# STL-10 labels remapped to CIFAR class order (datasets.py:163)
+STL_CLS_MAPPING = np.array([0, 2, 1, 3, 4, 5, 7, 6, 8, 9])
+
+
+# ---------------------------------------------------------------------------
+# Binary format readers
+# ---------------------------------------------------------------------------
+
+
+def _open_maybe_gz(path: str):
+    if os.path.exists(path + ".gz"):
+        return gzip.open(path + ".gz", "rb")
+    return open(path, "rb")
+
+
+def _read_idx(path: str) -> np.ndarray:
+    with _open_maybe_gz(path) as f:
+        magic = struct.unpack(">I", f.read(4))[0]
+        ndim = magic & 0xFF
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        return np.frombuffer(f.read(), np.uint8).reshape(dims)
+
+
+def _find(root: str, candidates) -> str | None:
+    for c in candidates:
+        for base in (root, os.path.join(root, "raw")):
+            p = os.path.join(base, c)
+            if os.path.exists(p) or os.path.exists(p + ".gz"):
+                return p
+    return None
+
+
+def read_mnist_like(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
+    kind = "train" if train else "t10k"
+    imgs = _find(root, [f"{kind}-images-idx3-ubyte", f"{kind}-images.idx3-ubyte"])
+    lbls = _find(root, [f"{kind}-labels-idx1-ubyte", f"{kind}-labels.idx1-ubyte"])
+    if imgs is None or lbls is None:
+        return None
+    x = _read_idx(imgs)[..., None]  # N,28,28,1
+    y = _read_idx(lbls).astype(np.int64)
+    return x, y
+
+
+def read_cifar(root: str, train: bool, coarse: bool = False) -> Tuple[np.ndarray, np.ndarray] | None:
+    c10 = os.path.join(root, "cifar-10-batches-py")
+    c100 = os.path.join(root, "cifar-100-python")
+    if os.path.isdir(c100):
+        files = ["train"] if train else ["test"]
+        base, key = c100, b"fine_labels"
+    elif os.path.isdir(c10):
+        files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+        base, key = c10, b"labels"
+    else:
+        return None
+    xs, ys = [], []
+    for fn in files:
+        with open(os.path.join(base, fn), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xs.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        ys.append(np.asarray(d[key], np.int64))
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def read_svhn(root: str, split: str) -> Tuple[np.ndarray, np.ndarray] | None:
+    path = os.path.join(root, f"{split}_32x32.mat")
+    if not os.path.exists(path):
+        return None
+    from scipy.io import loadmat
+
+    d = loadmat(path)
+    x = d["X"].transpose(3, 0, 1, 2).astype(np.uint8)  # N,32,32,3
+    y = d["y"].reshape(-1).astype(np.int64) % 10  # '10' means digit 0
+    return x, y
+
+
+def read_stl10(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
+    base = os.path.join(root, "stl10_binary")
+    kind = "train" if train else "test"
+    xi = os.path.join(base, f"{kind}_X.bin")
+    yi = os.path.join(base, f"{kind}_y.bin")
+    if not (os.path.exists(xi) and os.path.exists(yi)):
+        return None
+    x = np.fromfile(xi, np.uint8).reshape(-1, 3, 96, 96).transpose(0, 3, 2, 1)
+    y = np.fromfile(yi, np.uint8).astype(np.int64) - 1
+    # downsample 96 -> 32 (3x average pool) to match the reference's Resize(32)
+    x = x.reshape(-1, 32, 3, 32, 3, 3).mean(axis=(2, 4)).astype(np.uint8)
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic fallback
+# ---------------------------------------------------------------------------
+
+
+def synthetic(
+    name: str, train: bool, n: int | None = None, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-conditional template + noise images, deterministic per
+    (dataset, split). Classes are genuinely separable so samplers converge
+    and calibration/OOD metrics are non-degenerate."""
+    size, ch, k, n_train, n_test = DATASET_PROFILES[name]
+    if n is None:
+        n = n_train if train else n_test
+    root_seed = abs(hash((name, "ursabench-synth", seed))) % (2 ** 31)
+    rng = np.random.Generator(np.random.Philox(root_seed))
+    templates = rng.uniform(40, 215, size=(k, size, size, ch))
+    split_rng = np.random.Generator(
+        np.random.Philox(root_seed + (1 if train else 2))
+    )
+    y = split_rng.integers(0, k, size=n)
+    noise = split_rng.normal(0.0, 48.0, size=(n, size, size, ch))
+    x = np.clip(templates[y] + noise, 0, 255).astype(np.uint8)
+    return x, y.astype(np.int64)
+
+
+def load_raw(
+    name: str, path: str | None, train: bool, allow_synthetic: bool = True,
+    synthetic_n: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Returns (images uint8 NHWC, labels int64, is_synthetic)."""
+    if name not in DATASET_PROFILES:
+        raise NotImplementedError(f"Unknown dataset {name}")
+    out = None
+    if path is not None:
+        root = path
+        if name in ("CIFAR10", "CIFAR100", "MNIST"):
+            # reference joins the lowercased name (datasets.py:148-150)
+            sub = os.path.join(path, name.lower())
+            root = sub if os.path.isdir(sub) else path
+        if name in ("MNIST", "FashionMNIST", "KMNIST"):
+            out = read_mnist_like(root, train)
+        elif name in ("CIFAR10", "CIFAR100"):
+            out = read_cifar(root, train)
+        elif name == "SVHN":
+            out = read_svhn(root, "train" if train else "test")
+        elif name == "STL10":
+            out = read_stl10(root, train)
+    if out is not None:
+        x, y = out
+        if name == "STL10":
+            y = STL_CLS_MAPPING[y]
+        return x, y, False
+    if not allow_synthetic:
+        raise FileNotFoundError(f"No on-disk data for {name} under {path!r}")
+    x, y = synthetic(name, train, n=synthetic_n)
+    if name == "STL10":
+        y = STL_CLS_MAPPING[y]
+    return x, y, True

@@ -1,0 +1,67 @@
+"""Sampler protocol — parity with the reference ``_Inference`` contract
+(/root/reference/URSABench/inference/inference_base.py:12-56): ctor takes
+(hyperparameters, model, train data); ``update_hyp`` re-initializes,
+``sample_iterative`` yields one posterior sample per call, ``sample``
+returns the full ensemble. The TPU edition returns stacked-pytree
+``Ensemble`` objects instead of ``List[nn.Module]``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from ..data.arrays import DataSplit
+from .engine import init_variables, make_eval_loss_fn
+from .ensemble import Ensemble
+
+
+class _Inference:
+    def __init__(
+        self,
+        hyperparameters: Optional[dict],
+        model=None,  # flax module
+        train: Optional[DataSplit] = None,
+        model_loss: str = "multi_class_linear_output",
+        key: Optional[jax.Array] = None,
+        chains: int = 1,
+    ):
+        if model_loss != "multi_class_linear_output":
+            raise NotImplementedError(model_loss)
+        self.module = model
+        self.train = train
+        self.model_loss = model_loss
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.chains = int(chains)
+        self.hyperparameters = hyperparameters
+        self._val_loss_cache = {}
+
+    # -- protocol ------------------------------------------------------------
+
+    def update_hyp(self, hyperparameters: dict):
+        raise NotImplementedError
+
+    def sample_iterative(self):
+        raise NotImplementedError
+
+    def sample(self, num_samples: Optional[int] = None) -> Ensemble:
+        raise NotImplementedError
+
+    # -- shared helpers --------------------------------------------------------
+
+    def next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def fresh_variables(self, key: Optional[jax.Array] = None) -> dict:
+        """(Re-)initialize model variables — replaces ``reset_model``
+        (util.py:92-107)."""
+        key = key if key is not None else self.next_key()
+        return init_variables(self.module, key, self.train.spec.shape)
+
+    def compute_val_loss(self, val_split: DataSplit, params, batch_stats) -> float:
+        cache_key = id(val_split)
+        if cache_key not in self._val_loss_cache:
+            self._val_loss_cache[cache_key] = make_eval_loss_fn(self.module, val_split)
+        return float(self._val_loss_cache[cache_key](params, batch_stats))

@@ -1,0 +1,220 @@
+"""Shared jitted training machinery for all epoch-driven samplers.
+
+TPU-native replacement for the reference's Python hot loop
+(/root/reference/URSABench/inference/sghmc.py:72-87): one epoch is a single
+compiled program — ``jax.lax.scan`` over gathered permutation batches with
+on-device normalization/augmentation, fused loss/grad, and the sampler's
+parameter update. Multi-chain sampling vmaps the same epoch program over a
+leading chain axis (per-chain PRNG streams).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.arrays import DataSplit
+from ..data.transforms import augment, normalize
+from ..util import Pytree
+
+
+class TrainState(NamedTuple):
+    params: Pytree
+    momentum: Pytree
+    batch_stats: Pytree  # possibly {} for BN-free models
+    key: jax.Array
+    step: jnp.ndarray  # global batch counter (int32)
+
+
+# (params, momentum, grads, lr, noise_on, is_first, key) -> (params, momentum)
+UpdateFn = Callable[..., tuple]
+# (epoch, batch_idx, global_step) -> lr scalar
+LrFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def init_variables(module, key: jax.Array, spec_shape, train: bool = False):
+    dummy = jnp.zeros((1,) + tuple(spec_shape), jnp.float32)
+    k_p, k_d = jax.random.split(key)
+    return module.init({"params": k_p, "dropout": k_d}, dummy, train=train)
+
+
+def cross_entropy_mean(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """torch nn.CrossEntropyLoss(reduction='mean') equivalent."""
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def make_epoch_fn(
+    module,
+    split: DataSplit,
+    *,
+    lr_fn: LrFn,
+    update_fn: UpdateFn,
+    use_augment: bool = True,
+    chains: int = 1,
+):
+    """Build ``epoch_fn(state, epoch, noise_on) -> (state, mean_loss)``:
+    one full shuffled epoch as a single jitted scan. With ``chains > 1``
+    the state carries a leading chain axis and the whole epoch program is
+    vmapped — independent MCMC chains advance in one device program."""
+    images, labels = split.device_arrays()
+    spec = split.spec
+    n = split.n
+    bsz = split.batch_size
+    nb = -(-n // bsz)
+    pad = nb * bsz - n
+
+    def loss_fn(params, batch_stats, x, y, dropout_key):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits, mutated = module.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        return cross_entropy_mean(logits, y), mutated.get("batch_stats", {})
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def epoch_impl(state: TrainState, epoch: jnp.ndarray, noise_on: jnp.ndarray):
+        key, k_perm, k_aug, k_noise, k_drop = jax.random.split(state.key, 5)
+        perm = jax.random.permutation(k_perm, n)
+        if pad:
+            perm = jnp.concatenate([perm, perm[:pad]])
+        batch_idx = perm.reshape(nb, bsz)
+
+        def body(carry, inp):
+            params, mom, bstats, step = carry
+            bi, idx = inp
+            x = jnp.take(images, idx, axis=0)
+            y = jnp.take(labels, idx, axis=0)
+            if use_augment and (spec.random_crop_pad or spec.random_flip):
+                x = augment(jax.random.fold_in(k_aug, bi), x, spec)
+            x = normalize(x, spec)
+            (loss, new_bstats), grads = grad_fn(
+                params, bstats, x, y, jax.random.fold_in(k_drop, bi)
+            )
+            lr = lr_fn(epoch, bi, step)
+            params, mom = update_fn(
+                params, mom, grads,
+                lr=lr, noise_on=noise_on,
+                is_first_step=(step == 0),
+                key=jax.random.fold_in(k_noise, bi),
+            )
+            if not new_bstats:
+                new_bstats = bstats
+            return (params, mom, new_bstats, step + 1), loss
+
+        init = (state.params, state.momentum, state.batch_stats, state.step)
+        (params, mom, bstats, step), losses = jax.lax.scan(
+            body, init, (jnp.arange(nb), batch_idx)
+        )
+        return TrainState(params, mom, bstats, key, step), losses.mean()
+
+    fn = epoch_impl if chains == 1 else jax.vmap(epoch_impl, in_axes=(0, None, None))
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def make_bn_refresh_fn(module, split: DataSplit):
+    """Recompute BatchNorm running buffers with one exact full-epoch pass
+    (reference ``bn_update``, /root/reference/URSABench/util.py:212-247:
+    the b/(n+b) momentum trick computes the batch-size-weighted average of
+    batch statistics — equivalently one scan with cumulative weighting)."""
+    images, labels = split.device_arrays()
+    del labels
+    spec = split.spec
+    n = split.n
+    bsz = split.batch_size
+    nb = -(-n // bsz)
+    pad = nb * bsz - n
+
+    @jax.jit
+    def refresh(params: Pytree, batch_stats: Pytree) -> Pytree:
+        if not batch_stats:
+            return batch_stats
+        idx = jnp.arange(n)
+        if pad:
+            idx = jnp.concatenate([idx, idx[:pad]])
+        batches = idx.reshape(nb, bsz)
+
+        # flax BatchNorm computes fresh = m*old + (1-m)*batch with its own
+        # static momentum; recover the pure batch statistic first.
+        flax_m = 0.9
+
+        def body_exact(carry, b_idx):
+            stats, count = carry
+            x = normalize(jnp.take(images, b_idx, axis=0), spec)
+            b = float(bsz)
+            _, mutated = module.apply(
+                {"params": params, "batch_stats": stats},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            batch_stat = jax.tree.map(
+                lambda f, o: (f - flax_m * o) / (1.0 - flax_m),
+                mutated["batch_stats"], stats,
+            )
+            w_old = count / (count + b)
+            stats = jax.tree.map(
+                lambda o, bs: w_old * o + (1.0 - w_old) * bs, stats, batch_stat
+            )
+            return (stats, count + b), None
+
+        zeroed = jax.tree.map(jnp.zeros_like, batch_stats)
+        # running_var must reset to 1 (util.py:196-199)
+        zeroed = _reset_var_to_one(zeroed)
+        (stats, _), _ = jax.lax.scan(body_exact, (zeroed, 0.0), batches)
+        return stats
+
+    return refresh
+
+
+def _reset_var_to_one(batch_stats: Pytree) -> Pytree:
+    """Set leaves named 'var' to ones (BN reset semantics)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(batch_stats)
+    for k in list(flat):
+        if k[-1] == "var":
+            flat[k] = jnp.ones_like(flat[k])
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+def make_eval_loss_fn(module, split: DataSplit):
+    """Mean CE over a validation split in eval mode
+    (reference ``compute_val_loss``, inference_base.py:46-56)."""
+    images, labels = split.device_arrays()
+    spec = split.spec
+    n = split.n
+    bsz = split.batch_size
+    nb = -(-n // bsz)
+    pad = nb * bsz - n
+
+    @jax.jit
+    def val_loss(params, batch_stats):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        idx = jnp.arange(n)
+        if pad:
+            idx = jnp.concatenate([idx, jnp.full((pad,), -1)])
+        batches = idx.reshape(nb, bsz)
+
+        def body(total, b_idx):
+            valid = b_idx >= 0
+            x = normalize(jnp.take(images, jnp.maximum(b_idx, 0), axis=0), spec)
+            y = jnp.take(labels, jnp.maximum(b_idx, 0), axis=0)
+            logits = module.apply(
+                variables, x, train=False,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return total + jnp.sum(ce * valid), None
+
+        total, _ = jax.lax.scan(body, 0.0, batches)
+        return total / n
+
+    return val_loss

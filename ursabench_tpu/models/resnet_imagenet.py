@@ -1,0 +1,104 @@
+"""ImageNet-style ResNet adapted for 32x32 inputs (INResNet18..152) + the
+MC-dropout twin.
+
+Parity target: /root/reference/URSABench/models/imagenet_resnet.py:16-181 —
+3x3 stride-1 stem (CIFAR-adapted), BasicBlock/Bottleneck with BN'd 1x1
+shortcut, kaiming-normal init, final 4x4 avg pool.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..data.transforms import CIFAR_TEST, CIFAR_TRAIN
+from ..nn.init import kaiming_normal_init, torch_linear_bias_init
+from .common import ModelCfg, register
+
+
+def _bn(train: bool) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
+
+
+def _conv(features: int, kernel: int, stride: int = 1) -> nn.Conv:
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=kernel // 2, use_bias=False, kernel_init=kaiming_normal_init,
+    )
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_planes = x.shape[-1]
+        out = nn.relu(_bn(train)(_conv(self.planes, 3, self.stride)(x)))
+        out = _bn(train)(_conv(self.planes, 3)(out))
+        shortcut = x
+        if self.stride != 1 or in_planes != self.planes:
+            shortcut = _bn(train)(_conv(self.planes, 1, self.stride)(x))
+        return nn.relu(out + shortcut)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_planes = x.shape[-1]
+        expansion = 4
+        out = nn.relu(_bn(train)(_conv(self.planes, 1)(x)))
+        out = nn.relu(_bn(train)(_conv(self.planes, 3, self.stride)(out)))
+        out = _bn(train)(_conv(self.planes * expansion, 1)(out))
+        shortcut = x
+        if self.stride != 1 or in_planes != self.planes * expansion:
+            shortcut = _bn(train)(_conv(self.planes * expansion, 1, self.stride)(x))
+        return nn.relu(out + shortcut)
+
+
+class INResNet(nn.Module):
+    layers: Sequence[int]
+    bottleneck: bool = False
+    num_classes: int = 10
+    dropout: float = 0.0  # final-layer MC dropout (twin only)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block = Bottleneck if self.bottleneck else BasicBlock
+        expansion = 4 if self.bottleneck else 1
+        out = nn.relu(_bn(train)(_conv(64, 3)(x)))
+        for planes, n, stride in zip((64, 128, 256, 512), self.layers, (1, 2, 2, 2)):
+            for i in range(n):
+                out = block(planes, stride if i == 0 else 1)(out, train)
+        out = jnp.mean(out, axis=(1, 2))
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=False)(out)
+        return nn.Dense(
+            self.num_classes, kernel_init=kaiming_normal_init,
+            bias_init=torch_linear_bias_init(512 * expansion),
+        )(out)
+
+
+def _cfg(name: str, layers, bottleneck: bool, dropout: float = 0.0) -> ModelCfg:
+    return register(
+        ModelCfg(
+            name=name,
+            make=lambda num_classes, **kw: INResNet(num_classes=num_classes, **kw),
+            transform_train=CIFAR_TRAIN,
+            transform_test=CIFAR_TEST,
+            kwargs={"layers": layers, "bottleneck": bottleneck,
+                    **({"dropout": dropout} if dropout else {})},
+        )
+    )
+
+
+INResNet18 = _cfg("INResNet18", (2, 2, 2, 2), False)
+INResNet34 = _cfg("INResNet34", (3, 4, 6, 3), False)
+INResNet50 = _cfg("INResNet50", (3, 4, 6, 3), True)
+INResNet101 = _cfg("INResNet101", (3, 4, 23, 3), True)
+INResNet152 = _cfg("INResNet152", (3, 8, 36, 3), True)
+INResNet50_dropout = _cfg("INResNet50_dropout", (3, 4, 6, 3), True, dropout=0.2)
+ResNet_dropout = _cfg("ResNet_dropout", (3, 4, 6, 3), True, dropout=0.2)
