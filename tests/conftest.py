@@ -4,12 +4,20 @@ fake-multi-device mechanism; see SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, so env vars set here are too late for jax's config
+# snapshot — override through jax.config instead. XLA_FLAGS is still read
+# lazily at CPU-backend init, which hasn't happened yet.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,3 @@
+from .mesh import make_mesh, sharded_sghmc_step, shard_ensemble_eval
+
+__all__ = ["make_mesh", "sharded_sghmc_step", "shard_ensemble_eval"]

@@ -1,0 +1,153 @@
+"""Device-mesh parallelism for chains, data, and ensemble evaluation.
+
+The reference has no distributed layer at all (SURVEY.md §2.9): one process,
+one device, subprocess fan-out for sweeps. Here parallel MCMC chains and the
+per-step data batch are first-class mesh axes:
+
+    mesh axes: ('chain', 'data')
+    - sampler state (params/momentum/batch_stats/keys) carries a leading
+      chain axis sharded over 'chain'
+    - the global minibatch is sharded over 'data'; each device computes
+      gradients on its batch shard and the reduction over 'data' is a psum
+      riding the ICI (sum-loss / psum'd count == exact global-mean gradient)
+
+All collectives are XLA-generated from `shard_map` + `PartitionSpec` — there
+is no hand-written communication layer to maintain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.transforms import ImageSpec, normalize
+from ..ops.sgmcmc import sghmc_update
+from ..util import Pytree
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    chain_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("chain", "data"),
+) -> Mesh:
+    """Build a ('chain', 'data') mesh over the available devices.
+
+    ``chain_devices`` defaults to the largest power-of-two divisor <= the
+    chain count the caller plans to use; with 1 device both axes are size 1.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if chain_devices is None:
+        chain_devices = 1
+        while chain_devices * 2 <= n and n % (chain_devices * 2) == 0:
+            chain_devices *= 2
+        # favor a square-ish split
+        while chain_devices > 1 and chain_devices > n // chain_devices:
+            chain_devices //= 2
+    assert n % chain_devices == 0
+    arr = np.asarray(devices).reshape(chain_devices, n // chain_devices)
+    return Mesh(arr, axis_names)
+
+
+def sharded_sghmc_step(
+    module,
+    mesh: Mesh,
+    spec: ImageSpec,
+    *,
+    chains: int,
+    n_train: int,
+    lr: float = 0.01,
+    momentum: float = 0.9,
+    wd: float = 1.0,
+):
+    """Build a pjit-ed multi-chip SGHMC training step.
+
+    Layout: chain-parallel sampler states x data-parallel batch. Returns
+    ``step(states, batch_x_uint8, batch_y, noise_on) -> states`` plus the
+    shardings needed to place inputs. Inside the shard_map the local chain
+    block vmaps over its chains; the cross-device gradient reduction over
+    'data' is a single psum.
+    """
+    chain_shards = mesh.shape["chain"]
+    assert chains % chain_shards == 0
+
+    state_sharding = NamedSharding(mesh, P("chain"))
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params, batch_stats, x, y):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits, mutated = module.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        import optax
+
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        return ce.sum(), (mutated.get("batch_stats", {}), x.shape[0])
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def local_step(state, x_local, y_local, noise_on):
+        """Runs on one device: local chains x local batch shard."""
+        params, mom, bstats, keys = state
+        x = normalize(x_local, spec)
+
+        def one_chain(p, v, b, k):
+            grads, (new_b, n_local) = grad_fn(p, b, x, y_local)
+            # mean over the *global* batch: psum sums over data shards
+            n_global = jax.lax.psum(jnp.asarray(n_local, jnp.float32), "data")
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g, "data") / n_global, grads
+            )
+            k, k_noise = jax.random.split(k)
+            p2, v2 = sghmc_update(
+                p, v, grads, lr=lr, momentum=momentum, wd_over_n=wd / n_train,
+                n_train=float(n_train), noise_on=noise_on,
+                is_first_step=jnp.asarray(False), key=k_noise,
+            )
+            return p2, v2, new_b if new_b else b, k
+
+        return jax.vmap(one_chain)(params, mom, bstats, keys)
+
+    sharded = jax.shard_map(
+        lambda state, x, y, noise: local_step(state, x, y, noise),
+        mesh=mesh,
+        in_specs=(P("chain"), P("data"), P("data"), P()),
+        out_specs=P("chain"),
+        check_vma=False,
+    )
+    step = jax.jit(sharded)
+    return step, state_sharding, batch_sharding
+
+
+def shard_ensemble_eval(module, mesh: Mesh, has_batch_stats: bool = True):
+    """BMA forward with ensemble members sharded over 'chain' and the eval
+    batch sharded over 'data': returns (members, x) -> (S, B, C) logits with
+    each device computing its member-block on its batch shard."""
+
+    def member_logits(params, batch_stats, x):
+        variables = {"params": params}
+        if has_batch_stats and batch_stats:
+            variables["batch_stats"] = batch_stats
+        return module.apply(variables, x, train=False)
+
+    def local(params, batch_stats, x):
+        return jax.vmap(lambda p, b: member_logits(p, b, x))(params, batch_stats)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("chain"), P("chain"), P("data")),
+        out_specs=P("chain", "data"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
