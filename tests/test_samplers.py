@@ -1,0 +1,139 @@
+"""Sampler zoo: SGD, MCdropout, SWA, SWAG, PCASubspaceSampler, HMC."""
+
+import jax
+import numpy as np
+import pytest
+
+from ursabench_tpu import data, inference, models, tasks
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=128, synthetic_n_test=64,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    return splits, C, module
+
+
+def _eval_error(ens, splits, C):
+    task = tasks.Prediction(
+        {"in_distribution_test": splits["test"]}, C, metric_list=["error_rate"]
+    )
+    task.update_statistics(ens, output_performance=False)
+    return task.get_performance_metrics()["error_rate"]
+
+
+def test_sgd_map(tiny):
+    splits, C, module = tiny
+    s = inference.SGD(
+        {"lr": 0.05, "epochs": 3, "momentum": 0.9, "weight_decay": 1e-4},
+        model=module, train=splits["train"], key=jax.random.PRNGKey(0),
+    )
+    ens = s.sample()
+    assert ens.num_members == 1
+    assert _eval_error(ens, splits, C) < 0.5
+
+
+def test_mcdropout(tiny):
+    splits, C, module = tiny
+    drop = models.get_model("MLP200MNIST_dropout").build(C)
+    s = inference.MCdropout(
+        {"lr": 0.05, "epochs": 2, "dropout": 0.2, "lengthscale": 0.01,
+         "num_samples": 4, "momentum": 0.9, "weight_decay": 0},
+        model=drop, train=splits["train"], key=jax.random.PRNGKey(1),
+    )
+    ens = s.sample()
+    assert ens.num_members == 4
+    assert ens.dropout_keys is not None
+    # members share weights but produce different stochastic outputs
+    x, _ = next(splits["test"].batches())
+    logits = ens.logits_all(x)
+    assert not np.allclose(np.asarray(logits[0]), np.asarray(logits[1]))
+
+
+def test_swa_and_swag(tiny):
+    splits, C, module = tiny
+    hyp = {"swag_lr": 0.01, "swag_wd": 1e-4, "lr_init": 0.05, "num_samples": 3,
+           "momentum": 0.9, "burn_in_epochs": 2, "num_iterates": 3}
+    swa = inference.SWA(hyp, model=module, train=splits["train"],
+                        key=jax.random.PRNGKey(2), max_rank=3, pca_rank=2)
+    ens = swa.sample()
+    assert ens.num_members == 3
+    mean, var, cov = swa.get_space()
+    assert mean.shape == var.shape == (swa.num_parameters,)
+    assert cov.shape == (2, swa.num_parameters)
+    assert float(var.min()) >= swa.VAR_CLAMP
+
+    swag = inference.SWAG(
+        {**hyp}, model=module, train=splits["train"], key=jax.random.PRNGKey(3),
+        max_rank=3, pca_rank=2,
+    )
+    ens2 = swag.sample(num_samples=3, full_cov=True)
+    assert ens2.num_members == 3
+    p = jax.tree.leaves(ens2.params)[0]
+    # true SWAG: drawn samples must differ
+    assert not np.allclose(np.asarray(p[0]), np.asarray(p[1]))
+
+    # reference-bug compat mode returns the collapsed mean every draw
+    swag_ref = inference.SWAG(
+        {**hyp}, model=module, train=splits["train"], key=jax.random.PRNGKey(4),
+        max_rank=3, pca_rank=2, reference_bug_compat=True,
+    )
+    ens3 = swag_ref.sample(num_samples=2)
+    p3 = jax.tree.leaves(ens3.params)[0]
+    np.testing.assert_allclose(np.asarray(p3[0]), np.asarray(p3[1]))
+
+
+def test_pca_subspace_sampler(tiny):
+    splits, C, module = tiny
+    hyp = {"swag_lr": 0.01, "swag_wd": 1e-4, "lr_init": 0.05, "num_samples": 3,
+           "swag_momentum": 0.9, "swag_burn_in_epochs": 1, "num_swag_iterates": 4,
+           "rank": 2, "max_rank": 4, "temperature": 100.0, "prior_std": 1.0}
+    s = inference.PCASubspaceSampler(
+        hyp, model=module, train=splits["train"], key=jax.random.PRNGKey(5)
+    )
+    ens = s.sample()
+    assert ens.num_members == 3
+    # successive thetas move (ESS accepted something across draws)
+    assert s.current_theta.shape[0] == s.subspace.rank
+
+
+def test_hmc(tiny):
+    splits, C, module = tiny
+    hyp = {"step_size": 5e-4, "num_samples": 6, "L": 3, "tau": 1.0,
+           "burn": 2, "mass": 1.0}
+    s = inference.HMC(hyp, model=module, train=splits["train"],
+                      key=jax.random.PRNGKey(6))
+    ens = s.sample()
+    # chain incl. initial point: 7 draws, keep [2:] -> 5
+    assert ens.num_members == 5
+    assert 0.0 <= s.accept_rate <= 1.0
+
+    # burn=-1 keeps exactly the last draw (time_script.py:83 protocol)
+    s2 = inference.HMC({**hyp, "burn": -1}, model=module, train=splits["train"],
+                       key=jax.random.PRNGKey(7))
+    assert s2.sample().num_members == 1
+
+
+def test_subspace_pca_matches_sklearn():
+    from sklearn.utils.extmath import randomized_svd
+
+    from ursabench_tpu.inference.subspaces import PCASpace
+
+    rng = np.random.default_rng(0)
+    P, K = 500, 6
+    space = PCASpace(P, pca_rank=4, max_rank=K)
+    for _ in range(K):
+        space.collect_vector(jax.numpy.asarray(rng.normal(size=P), dtype="float32"))
+    ours = np.asarray(space.get_space())
+    a = np.asarray(space.cov_mat_sqrt) / (max(1, space.rank - 1)) ** 0.5
+    _, s_ref, vt_ref = randomized_svd(a, n_components=4, n_iter=5, random_state=0)
+    ref = s_ref[:, None] * vt_ref
+    # rows match up to sign
+    for i in range(4):
+        match = min(
+            np.abs(ours[i] - ref[i]).max(), np.abs(ours[i] + ref[i]).max()
+        )
+        assert match < 1e-3

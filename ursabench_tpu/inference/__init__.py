@@ -7,15 +7,25 @@ inference/__init__.py:1-11 there).
 
 from .base import _Inference
 from .ensemble import Ensemble
+from .hmc import HMC
+from .pca_subspace import PCASubspaceSampler
+from .sgd_map import SGD, MCdropout
 from .sgmcmc import SGHMC, SGLD, cSGHMC, cSGLD
+from .subspaces import Subspace, SubspaceModel
+from .swa import SWA
+from .swag import SWAG
 
-__all__ = ["_Inference", "Ensemble", "SGHMC", "SGLD", "cSGHMC", "cSGLD"]
+__all__ = [
+    "_Inference", "Ensemble", "SGHMC", "SGLD", "cSGHMC", "cSGLD",
+    "SGD", "MCdropout", "SWA", "SWAG", "PCASubspaceSampler", "HMC",
+    "Subspace", "SubspaceModel",
+]
 
 
 def get_inference(name: str):
-    import importlib
+    import sys
 
-    mod = importlib.import_module(__name__)
+    mod = sys.modules[__name__]
     if not hasattr(mod, name):
         raise KeyError(f"Unknown inference method '{name}'")
     return getattr(mod, name)

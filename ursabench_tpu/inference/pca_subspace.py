@@ -1,0 +1,161 @@
+"""PCA-subspace elliptical slice sampler.
+
+Parity target: /root/reference/URSABench/inference/pca_subspace.py — phase 1
+builds a rank-k PCA subspace of the SWA trajectory (:61-63,110-115); phase 2
+runs elliptical slice sampling in subspace coordinates with log-target
+-loss/temperature over the full train set (:106-108,120-123 via util.log_pdf
+and util.elliptical_slice), projecting each accepted theta back to weights
+(:124-128), BN refresh on the final sample (:139-140).
+
+TPU-native: the tempered full-data log-likelihood is one jitted scan over
+device-resident batches, and each ESS transition (bracket shrinking
+included) is a single lax.while_loop program — the reference's hottest
+Python loop (SURVEY.md §3.4) collapses into one XLA computation per draw.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.transforms import normalize
+from ..ops.ess import elliptical_slice
+from .base import _Inference
+from .ensemble import Ensemble
+from .subspaces import SubspaceModel
+from .swa import SWA
+
+
+class PCASubspaceSampler(_Inference):
+    _DEFAULT_HYP = {
+        "swag_lr": 0.001, "swag_wd": 0.001, "lr_init": 0.001, "num_samples": 20,
+        "swag_momentum": 0.1, "swag_burn_in_epochs": 100, "num_swag_iterates": 50,
+        "rank": 20, "max_rank": 20, "temperature": 5000, "prior_std": 2.0,
+    }
+
+    def __init__(self, hyperparameters, model=None, train=None,
+                 model_loss="multi_class_linear_output", key=None, chains=1):
+        super().__init__(hyperparameters, model, train, model_loss, key, 1)
+        if hyperparameters is None:
+            hyperparameters = dict(self._DEFAULT_HYP)
+        self._setup(hyperparameters)
+
+    def _setup(self, hyp):
+        self.hyperparameters = hyp
+        self.rank = int(hyp["rank"])
+        self.max_rank = int(hyp["max_rank"])
+        self.num_samples = int(hyp["num_samples"])
+        self.prior_std = float(hyp["prior_std"])
+        self.temperature = float(hyp["temperature"])
+        swag_hyp = {
+            "burn_in_epochs": int(hyp["swag_burn_in_epochs"]),
+            "momentum": float(hyp["swag_momentum"]),
+            "lr_init": float(hyp["lr_init"]),
+            "swag_lr": float(hyp["swag_lr"]),
+            "swag_wd": float(hyp["swag_wd"]),
+            "num_iterates": int(hyp["num_swag_iterates"]),
+            "subspace_type": "pca",
+        }
+        self.swa = SWA(
+            swag_hyp, model=self.module, train=self.train, key=self.next_key(),
+            max_rank=self.max_rank, pca_rank=self.rank,
+        )
+        self.subspace_constructed = False
+        self.subspace: SubspaceModel | None = None
+        self.current_theta = None
+        self.current_lnpdf = None
+        self._lnpdf_jit = None
+
+    def update_hyp(self, hyperparameters):
+        self._setup(hyperparameters)
+
+    # -- tempered full-data log density (util.py:260-274) ----------------------
+
+    def _build_lnpdf(self):
+        images, labels = self.train.device_arrays()
+        spec = self.train.spec
+        n = self.train.n
+        bsz = self.train.batch_size
+        nb = -(-n // bsz)
+        pad = nb * bsz - n
+        module = self.module
+        unravel = self.swa._unravel
+        mean = self.subspace.mean
+        cov_factor = self.subspace.cov_factor
+        temperature = self.temperature
+        bstats = self.swa._state.batch_stats
+
+        idx = jnp.arange(n)
+        if pad:
+            idx = jnp.concatenate([idx, jnp.full((pad,), -1)])
+        batches = idx.reshape(nb, bsz)
+
+        @jax.jit
+        def lnpdf(theta):
+            w = mean + cov_factor.T @ theta
+            params = unravel(w)
+            variables = {"params": params}
+            if bstats:
+                variables["batch_stats"] = bstats
+
+            def body(total, b_idx):
+                valid = (b_idx >= 0).astype(jnp.float32)
+                x = normalize(jnp.take(images, jnp.maximum(b_idx, 0), axis=0), spec)
+                y = jnp.take(labels, jnp.maximum(b_idx, 0), axis=0)
+                # reference log_pdf runs the net in train mode (batch-stat
+                # normalization) under no_grad (util.py:266-273); we use
+                # train-mode stats and discard the buffer mutations.
+                logits, _ = module.apply(
+                    variables, x, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(0)},
+                )
+                ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+                return total + jnp.sum(ce * valid), None
+
+            total, _ = jax.lax.scan(body, 0.0, batches)
+            return -total / temperature
+
+        return lnpdf
+
+    # -- sampling ---------------------------------------------------------------
+
+    def sample_iterative(self, update_bn=True, val_loader=None, debug_val_loss=False):
+        if not self.subspace_constructed:
+            self.swa.sample()  # phase 1 (pca_subspace.py:111-113)
+            mean, _, cov_factor = self.swa.get_space()
+            self.subspace = SubspaceModel(mean, cov_factor)
+            self._lnpdf_jit = self._build_lnpdf()
+            self.current_theta = jnp.zeros(self.rank)
+            self.subspace_constructed = True
+        k_prior, k_ess = jax.random.split(self.next_key())
+        actual_rank = self.subspace.rank
+        prior_sample = self.prior_std * jax.random.normal(k_prior, (actual_rank,))
+        theta = self.current_theta[:actual_rank]
+        theta, lnp = elliptical_slice(
+            k_ess, theta, prior_sample, self._lnpdf_jit,
+            cur_lnpdf=self.current_lnpdf,
+        )
+        self.current_theta = theta
+        self.current_lnpdf = lnp
+        w = self.subspace(theta)
+        params = self.swa._unravel(w)
+        bstats = self.swa._state.batch_stats
+        if update_bn and bstats:
+            bstats = self.swa._bn_refresh(params, bstats)
+        return params, bstats
+
+    def sample(self, num_samples=None, val_loader=None, debug_val_loss=False) -> Ensemble:
+        if num_samples is None:
+            num_samples = self.num_samples
+        draws = [
+            self.sample_iterative(update_bn=(i == num_samples - 1))
+            for i in range(num_samples)
+        ]
+        from ..util import tree_stack
+
+        params = tree_stack([d[0] for d in draws])
+        bstats = tree_stack([d[1] for d in draws])
+        has_bn = bool(jax.tree.leaves(bstats))
+        return Ensemble(self.module, params, bstats if has_bn else None,
+                        num_samples)

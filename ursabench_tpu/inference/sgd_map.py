@@ -1,0 +1,203 @@
+"""SGD (MAP baseline) and MCdropout samplers.
+
+Parity targets:
+- SGD: /root/reference/URSABench/inference/sgd.py — plain SGD+momentum+wd,
+  cosine annealing stepped per epoch, num_samples forced to 1 (:36), zero
+  extra epochs after burn-in (:75).
+- MCdropout: /root/reference/URSABench/inference/vi_dropout.py — swaps in
+  the `<Model>_dropout` twin (:13-22), SGD with dropout-lengthscale weight
+  decay l^2(1-p)/(2N) (:55), OneCycleLR stepped per *batch* (:64-66,106);
+  each "sample" is the same stochastic model — here one shared parameter
+  set plus per-member dropout PRNG keys.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sgmcmc import sgd_momentum_update
+from ..util import tree_zeros_like
+from .base import _Inference
+from .engine import TrainState, make_epoch_fn
+from .ensemble import Ensemble
+
+
+def _sgd_update(wd: float, momentum: float):
+    def update_fn(params, mom, grads, *, lr, noise_on, is_first_step, key):
+        del noise_on, key
+        return sgd_momentum_update(
+            params, mom, grads, lr=lr, momentum=momentum, weight_decay=wd,
+            is_first_step=is_first_step,
+        )
+
+    return update_fn
+
+
+def one_cycle_lr(max_lr: float, total_steps: int, pct_start: float = 0.3,
+                 div_factor: float = 25.0, final_div_factor: float = 1e4):
+    """torch OneCycleLR (cos anneal) closed form over the global step."""
+    initial_lr = max_lr / div_factor
+    min_lr = initial_lr / final_div_factor
+    up_steps = float(max(1, int(pct_start * total_steps) - 1))
+    down_steps = float(max(1, total_steps - int(pct_start * total_steps) - 1))
+
+    def lr_fn(epoch, batch_idx, step):
+        del epoch, batch_idx
+        s = jnp.minimum(step.astype(jnp.float32), float(total_steps))
+        t_up = jnp.clip(s / up_steps, 0.0, 1.0)
+        lr_up = initial_lr + (max_lr - initial_lr) * 0.5 * (
+            1.0 - jnp.cos(jnp.pi * t_up)
+        )
+        t_down = jnp.clip((s - up_steps) / down_steps, 0.0, 1.0)
+        lr_down = min_lr + (max_lr - min_lr) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * t_down)
+        )
+        return jnp.where(s <= up_steps, lr_up, lr_down)
+
+    return lr_fn
+
+
+class SGD(_Inference):
+    _DEFAULT_HYP = {"lr": 0.1, "epochs": 10, "momentum": 0.9, "weight_decay": 0.001}
+
+    def __init__(self, hyperparameters, model=None, train=None,
+                 model_loss="multi_class_linear_output", key=None, chains=1):
+        super().__init__(hyperparameters, model, train, model_loss, key, chains)
+        if hyperparameters is None:
+            hyperparameters = dict(self._DEFAULT_HYP)
+        self._setup(hyperparameters, eta_min_fraction=0.01)
+
+    def _setup(self, hyp, eta_min_fraction):
+        from .sgmcmc import cosine_annealing_lr
+
+        self.hyperparameters = hyp
+        self.lr = float(hyp["lr"])
+        self.num_samples = 1  # sgd.py:36
+        self.burn_in_epochs = int(hyp["epochs"])
+        self.momentum = float(hyp["momentum"])
+        self.weight_decay = float(hyp["weight_decay"])
+        self.burnt_in = False
+        self.epochs_run = 0
+        t_max = self.burn_in_epochs + self.num_samples
+        lr_fn = cosine_annealing_lr(self.lr, eta_min_fraction * self.lr, max(t_max, 1))
+        self._epoch_fn = make_epoch_fn(
+            self.module, self.train, lr_fn=lr_fn,
+            update_fn=_sgd_update(self.weight_decay, self.momentum),
+            chains=self.chains,
+        )
+        from .sgmcmc import SGHMC
+
+        self._state = SGHMC._init_state(self)
+
+    def update_hyp(self, hyperparameters):
+        self._setup(hyperparameters, eta_min_fraction=0.5)
+
+    def sample_iterative(self, val_loader=None, debug_val_loss=False):
+        from .sgmcmc import SGHMC
+
+        epochs = self.burn_in_epochs + 1 if not self.burnt_in else 0  # sgd.py:75
+        self.burnt_in = True
+        for _ in range(epochs):
+            self._state, _ = self._epoch_fn(
+                self._state, jnp.asarray(self.epochs_run, jnp.float32),
+                jnp.asarray(0.0),
+            )
+            self.epochs_run += 1
+        return SGHMC._harvest(self)
+
+    def sample(self, num_samples=None, val_loader=None, debug_val_loss=False) -> Ensemble:
+        from .sgmcmc import SGHMC
+
+        if num_samples is None:
+            num_samples = self.num_samples
+        draws = [self.sample_iterative() for _ in range(num_samples)]
+        return SGHMC._ensemble_from_draws(self, draws)
+
+
+class MCdropout(_Inference):
+    _DEFAULT_HYP = {
+        "lr": 0.1, "epochs": 10, "dropout": 0.2, "lengthscale": 0.01,
+        "num_samples": 10, "momentum": 0.9, "weight_decay": 0,
+    }
+
+    def __init__(self, hyperparameters, model=None, train=None,
+                 model_loss="multi_class_linear_output", key=None, chains=1,
+                 model_name: str | None = None):
+        """``model`` may be a base module; pass ``model_name`` to resolve the
+        `_dropout` twin from the registry (vi_dropout.py:13-22), or pass the
+        dropout module directly."""
+        if model_name is not None:
+            from .. import models as model_zoo
+
+            cfg = model_zoo.dropout_twin(model_name)
+            num_classes = getattr(model, "num_classes", None) or 10
+            model = cfg.build(num_classes)
+        super().__init__(hyperparameters, model, train, model_loss, key, chains)
+        if hyperparameters is None:
+            hyperparameters = dict(self._DEFAULT_HYP)
+        self._setup(hyperparameters)
+
+    def _setup(self, hyp):
+        self.hyperparameters = hyp
+        self.lr = float(hyp["lr"])
+        self.num_samples = int(hyp["num_samples"])
+        self.burn_in_epochs = int(hyp["epochs"])
+        self.dropout = float(hyp["dropout"])
+        self.momentum = float(hyp["momentum"])
+        if float(hyp.get("weight_decay", 0)) != 0:
+            self.weight_decay = float(hyp["weight_decay"])
+        else:
+            # dropout-lengthscale decay (vi_dropout.py:55)
+            self.weight_decay = (
+                float(hyp["lengthscale"]) ** 2 * (1 - self.dropout)
+                / (2.0 * self.train.n)
+            )
+        self.burnt_in = False
+        self.epochs_run = 0
+        total_steps = (self.burn_in_epochs + self.num_samples) * self.train.num_batches
+        lr_fn = one_cycle_lr(self.lr * 5, max(total_steps, 2))
+        self._epoch_fn = make_epoch_fn(
+            self.module, self.train, lr_fn=lr_fn,
+            update_fn=_sgd_update(self.weight_decay, self.momentum),
+            chains=self.chains,
+        )
+        from .sgmcmc import SGHMC
+
+        self._state = SGHMC._init_state(self)
+
+    def update_hyp(self, hyperparameters):
+        self._setup(hyperparameters)
+
+    def sample_iterative(self, val_loader=None, debug_val_loss=False):
+        from .sgmcmc import SGHMC
+
+        epochs = self.burn_in_epochs + 1 if not self.burnt_in else 1
+        self.burnt_in = True
+        for _ in range(epochs):
+            self._state, _ = self._epoch_fn(
+                self._state, jnp.asarray(self.epochs_run, jnp.float32),
+                jnp.asarray(0.0),
+            )
+            self.epochs_run += 1
+        return SGHMC._harvest(self)
+
+    def sample(self, num_samples=None, val_loader=None, debug_val_loss=False) -> Ensemble:
+        if num_samples is None:
+            num_samples = self.num_samples
+        params, bstats = None, None
+        for _ in range(num_samples):
+            params, bstats = self.sample_iterative()
+        # one shared weight set; members differ only by dropout PRNG stream
+        if self.chains > 1:
+            params = jax.tree.map(lambda x: x[0], params)
+            bstats = jax.tree.map(lambda x: x[0], bstats)
+        stack = lambda t: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_samples,) + x.shape), t
+        )
+        has_bn = bool(jax.tree.leaves(bstats))
+        return Ensemble(
+            self.module, stack(params), stack(bstats) if has_bn else None,
+            num_samples,
+            dropout_keys=jax.random.split(self.next_key(), num_samples),
+        )
