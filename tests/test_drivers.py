@@ -1,0 +1,130 @@
+"""CLI drivers, checkpointing, and profiling harness."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_experiment_validation_mode(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ursabench_tpu.experiment import main
+
+    perf = main([
+        "--dataset", "MNIST", "--model", "MLP200MNIST",
+        "--inference_method", "SGLD", "--task", "Prediction", "--use_val",
+        "--batch_size", "32", "--seed", "0",
+        "--hyperparams",
+        json.dumps({"lr": 0.03, "prior_std": 1.0, "num_samples": 2,
+                    "burn_in_epochs": 1}),
+        "--synthetic_n_train", "160", "--synthetic_n_test", "64",
+    ])
+    assert "error_rate" in perf
+    assert (tmp_path / "results.csv").exists()
+
+
+def test_experiment_test_mode(tmp_path):
+    from ursabench_tpu.experiment import main
+
+    results = main([
+        "--dataset", "MNIST", "--model", "MLP200MNIST",
+        "--inference_method", "SGLD", "--num_trials", "2",
+        "--batch_size", "32", "--save_path", str(tmp_path / "out"),
+        "--hyperparams",
+        json.dumps({"lr": 0.03, "prior_std": 1.0, "num_samples": 2,
+                    "burn_in_epochs": 1}),
+        "--synthetic_n_train", "128", "--synthetic_n_test", "64",
+    ])
+    assert "error_rate_mean" in results and "error_rate_std" in results
+    assert "total_uncertainty_auroc_FashionMNIST_mean" in results
+    assert "cost_mean" in results
+    assert (tmp_path / "outresults.csv").exists()
+    assert (tmp_path / "out_tests.npz").exists()
+
+
+def test_time_script(tmp_path):
+    from ursabench_tpu.time_script import main
+
+    timer = main([
+        "--dataset", "MNIST", "--model", "MLP200MNIST",
+        "--save_path", str(tmp_path / "times"),
+        "--methods", "SGLD", "SGD",
+        "--S", "2", "--T", "2",
+        "--synthetic_n_train", "96", "--synthetic_n_test", "32",
+    ])
+    assert "SGLD_mean" in timer and "SGD_std" in timer
+    assert (tmp_path / "times.json").exists()
+
+
+def test_tuned_hyperparams_asset():
+    import ursabench_tpu
+
+    path = os.path.join(os.path.dirname(ursabench_tpu.__file__), "..",
+                        "assets", "tuned_hyperparams.json")
+    with open(os.path.abspath(path)) as f:
+        lib = json.load(f)
+    assert "MLP200MNIST" in lib
+    assert set(lib["MLP200MNIST"]) >= {
+        "HMC", "SGLD", "SGHMC", "cSGLD", "cSGHMC", "SGD", "MCdropout",
+        "PCASubspaceSampler",
+    }
+    # the WRN/CIFAR-10 SGHMC values quoted in SURVEY/BASELINE
+    sghmc = lib["WideResNet28x10CIFAR10"]["SGHMC"]
+    assert sghmc["lr"] == 0.1 and sghmc["burn_in_epochs"] == 100
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from ursabench_tpu import data, inference, models
+    from ursabench_tpu.utils_checkpoint import (
+        load_ensemble, restore_sampler_state, save_ensemble,
+        save_sampler_state,
+    )
+
+    splits, C = data.loaders("MNIST", None, batch_size=32, use_validation=False,
+                             synthetic_n_train=96, synthetic_n_test=32)
+    module = models.get_model("MLP200MNIST").build(C)
+    hyp = {"lr": 0.03, "prior_std": 1.0, "num_samples": 2, "burn_in_epochs": 1}
+    s = inference.SGLD(hyp, model=module, train=splits["train"],
+                       key=jax.random.PRNGKey(0))
+    ens = s.sample()
+    save_ensemble(str(tmp_path / "ens.npz"), ens)
+    ens2 = load_ensemble(str(tmp_path / "ens.npz"), module)
+    assert ens2.num_members == ens.num_members
+    a = np.asarray(jax.tree.leaves(ens.params)[0])
+    b = np.asarray(jax.tree.leaves(ens2.params)[0])
+    np.testing.assert_allclose(a, b)
+
+    save_sampler_state(str(tmp_path / "state.npz"), s)
+    s2 = inference.SGLD(hyp, model=module, train=splits["train"],
+                        key=jax.random.PRNGKey(9))
+    restore_sampler_state(str(tmp_path / "state.npz"), s2)
+    assert s2.epochs_run == s.epochs_run and s2.burnt_in == s.burnt_in
+    # resumed chain continues without error
+    s2.sample_iterative()
+
+
+def test_profiling_sweep(tmp_path):
+    from ursabench_tpu.profiling import ProfileConfig, make_latex_table, run_sweep
+    import ursabench_tpu.profiling.latency as lat
+
+    # shrink protocol for CPU test speed
+    orig = (lat.WARM_UP_ITERS, lat.REPS_PER_BATCH, lat.BURN_IN_BATCHES)
+    lat.WARM_UP_ITERS, lat.REPS_PER_BATCH, lat.BURN_IN_BATCHES = 1, 2, 0
+    try:
+        cfgs = [ProfileConfig("MLP200MNIST", "MNIST", p, 2, 4)
+                for p in ("fp32", "bf16")]
+        cache_path = str(tmp_path / "cache.json")
+        cache = run_sweep(cfgs, cache_path)
+        assert len(cache) == 2
+        for r in cache.values():
+            assert r["latency_mean_s"] > 0
+        # resume: second call hits the cache (no recompute)
+        cache2 = run_sweep(cfgs, cache_path)
+        assert cache2.keys() == cache.keys()
+        tab = make_latex_table(cache)
+        assert "bf16" in tab and "fp32" in tab and "tabular" in tab
+    finally:
+        lat.WARM_UP_ITERS, lat.REPS_PER_BATCH, lat.BURN_IN_BATCHES = orig

@@ -1,0 +1,171 @@
+"""Ensemble latency profiling — the TPU-native trtprof replacement.
+
+The reference subsystem (/root/reference/URSABench/trtprof/) converts models
+to TensorRT engines and times pagelocked HtoD -> execute -> DtoH rounds on a
+CUDA stream (prof.py:36-80). Here "building an engine" is AOT-compiling the
+vmapped ensemble forward with ``jax.jit(...).lower(...).compile()`` for an
+fp32 or bf16 compute dtype (the fp32/fp16 TRT engine split, batch_onnx2trt),
+and the measurement protocol is carried over exactly: 30 warm-up iterations
+(prof.py:141-150), 10 timed reps per batch (prof.py:153-171), 10-batch
+burn-in in the aggregate (run_prediction.py:70-78). Results land in a JSON
+cache keyed by configuration so interrupted sweeps resume
+(run_prediction.py:127-141), and make_table renders the LaTeX comparison.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WARM_UP_ITERS = 30  # prof.py:141-150
+REPS_PER_BATCH = 10  # prof.py:153-171
+BURN_IN_BATCHES = 10  # run_prediction.py:70
+
+
+@dataclass(frozen=True)
+class ProfileConfig:
+    model: str
+    dataset: str
+    precision: str  # 'fp32' | 'bf16'
+    ensemble_size: int
+    batch_size: int
+
+    def key(self) -> str:
+        return (f"{self.model}.{self.dataset}.{self.precision}"
+                f".ensemble{self.ensemble_size}.bs{self.batch_size}")
+
+
+def build_engine(module, params, batch_stats, batch_size, input_shape,
+                 precision="fp32"):
+    """AOT-compile the vmapped BMA forward — the 'TensorRT engine build'.
+
+    Returns (compiled_fn, example_input). bf16 casts params + activations
+    (fp32 accumulation on the MXU via preferred_element_type default).
+    """
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+    )
+    params = cast(params)
+    if batch_stats is not None:
+        batch_stats = cast(batch_stats)
+
+    def fn(params, batch_stats, x):
+        def one(p, b):
+            variables = {"params": p}
+            if b is not None:
+                variables["batch_stats"] = b
+            return module.apply(variables, x.astype(dtype), train=False)
+
+        bs_axis = None if batch_stats is None else 0
+        logits = jax.vmap(one, in_axes=(0, bs_axis))(params, batch_stats)
+        return jnp.exp(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ).sum(0)
+
+    x = jnp.zeros((batch_size,) + tuple(input_shape), jnp.float32)
+    compiled = jax.jit(fn).lower(params, batch_stats, x).compile()
+    return (lambda xb: compiled(params, batch_stats, xb)), x
+
+
+def time_engine(engine, x, num_batches=20):
+    """warm_up + per-batch timed reps; returns (lat_mean, lat_std) seconds
+    over post-burn-in batches."""
+    for _ in range(WARM_UP_ITERS):
+        engine(x).block_until_ready()
+    lats = []
+    for b in range(num_batches):
+        t0 = time.perf_counter()
+        for _ in range(REPS_PER_BATCH):
+            out = engine(x)
+        out.block_until_ready()
+        lats.append((time.perf_counter() - t0) / REPS_PER_BATCH)
+    lats = np.asarray(lats[BURN_IN_BATCHES:] if len(lats) > BURN_IN_BATCHES else lats)
+    return float(lats.mean()), float(lats.std())
+
+
+def profile_config(cfg: ProfileConfig, trace_dir: str | None = None) -> dict:
+    from .. import models
+    from ..inference.engine import init_variables
+    from ..util import tree_stack
+
+    mcfg = models.get_model(cfg.model)
+    module = mcfg.build(100 if cfg.dataset == "CIFAR100" else 10)
+    spec = mcfg.transform_test
+    keys = jax.random.split(jax.random.PRNGKey(0), cfg.ensemble_size)
+    variables = [init_variables(module, k, spec.shape) for k in keys]
+    params = tree_stack([v["params"] for v in variables])
+    bstats = None
+    if variables[0].get("batch_stats"):
+        bstats = tree_stack([v["batch_stats"] for v in variables])
+
+    engine, x = build_engine(
+        module, params, bstats, cfg.batch_size, spec.shape, cfg.precision
+    )
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            mean, std = time_engine(engine, x)
+    else:
+        mean, std = time_engine(engine, x)
+    return {
+        **asdict(cfg),
+        "latency_mean_s": mean,
+        "latency_std_s": std,
+        "images_per_sec": cfg.batch_size / mean,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def run_sweep(configs, cache_path: str, trace_dir: str | None = None) -> dict:
+    """JSON-cached sweep with resume (run_prediction.py:127-141 pattern)."""
+    cache = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cache = json.load(f)
+    for cfg in configs:
+        if cfg.key() in cache:
+            print("cached:", cfg.key())
+            continue
+        print("profiling:", cfg.key())
+        cache[cfg.key()] = profile_config(cfg, trace_dir)
+        with open(cache_path, "w") as f:
+            json.dump(cache, f, indent=1)
+    return cache
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="*", default=["PreResNet20"])
+    p.add_argument("--dataset", type=str, default="CIFAR10")
+    p.add_argument("--precisions", nargs="*", default=["fp32", "bf16"])
+    p.add_argument("--ensemble_sizes", nargs="*", type=int, default=[1, 6])
+    p.add_argument("--batch_sizes", nargs="*", type=int, default=[1, 128])
+    p.add_argument("--cache", type=str, default="latency_cache.json")
+    p.add_argument("--trace_dir", type=str, default=None)
+    p.add_argument("--table", action="store_true", help="print LaTeX table")
+    args = p.parse_args(argv)
+
+    configs = [
+        ProfileConfig(m, args.dataset, prec, s, b)
+        for m in args.models
+        for prec in args.precisions
+        for s in args.ensemble_sizes
+        for b in args.batch_sizes
+    ]
+    cache = run_sweep(configs, args.cache, args.trace_dir)
+    if args.table:
+        from .tables import make_latex_table
+
+        print(make_latex_table(cache))
+    return cache
+
+
+if __name__ == "__main__":
+    main()
