@@ -1,0 +1,57 @@
+"""Native C++ data pipeline vs numpy reference."""
+
+import numpy as np
+import pytest
+
+from ursabench_tpu.data import native
+from ursabench_tpu.data.transforms import ImageSpec
+
+
+def test_native_builds():
+    assert native.native_available(), "libursa_dataio.so failed to build"
+
+
+def test_permutation_is_permutation():
+    p = native.permutation(1000, seed=42)
+    assert sorted(p.tolist()) == list(range(1000))
+    p2 = native.permutation(1000, seed=42)
+    np.testing.assert_array_equal(p, p2)  # deterministic
+    assert not np.array_equal(p, native.permutation(1000, seed=43))
+
+
+def test_gather_normalize_matches_numpy():
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (50, 8, 8, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, 50).astype(np.int64)
+    idx = rng.permutation(50)[:16].astype(np.int64)
+    mean = np.asarray([0.49, 0.48, 0.45], np.float32)
+    std = np.asarray([0.2, 0.21, 0.19], np.float32)
+    x, y = native.gather_normalize(images, labels, idx, mean, std)
+    ref_x = (images[idx].astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(x, ref_x, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(y, labels[idx])
+
+
+def test_gather_u8():
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (20, 4, 4, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, 20).astype(np.int64)
+    idx = np.asarray([3, 1, 19], np.int64)
+    x, y = native.gather_u8(images, labels, idx)
+    np.testing.assert_array_equal(x, images[idx])
+    np.testing.assert_array_equal(y, labels[idx])
+
+
+def test_host_streaming_split():
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, (70, 8, 8, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, 70).astype(np.int64)
+    spec = ImageSpec(8, 1, (0.5,), (0.5,))
+    split = native.HostStreamingSplit(images, labels, batch_size=32, spec=spec)
+    batches = list(split.epoch())
+    assert len(batches) == 2  # drops ragged tail
+    x, y = batches[0]
+    assert x.shape == (32, 8, 8, 1) and y.shape == (32,)
+    # second epoch reshuffles
+    b2 = list(split.epoch())
+    assert not np.allclose(np.asarray(batches[0][0]), np.asarray(b2[0][0]))

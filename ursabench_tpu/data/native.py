@@ -1,0 +1,175 @@
+"""ctypes bindings for the native host data pipeline (native/dataio.cc).
+
+Auto-builds libursa_dataio.so with `make` on first use; every entry point
+has a pure-numpy fallback so the framework never hard-depends on the
+toolchain. The native path backs ``HostStreamingSplit`` — the loader for
+datasets too large to keep device-resident (ImageNet-scale), with
+double-buffered host->device prefetch replacing torch DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libursa_dataio.so"))
+_lib = None
+_lib_tried = False
+
+
+def _load_lib():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.ursa_permutation.argtypes = [
+            ctypes.c_int64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64)
+        ]
+        lib.ursa_gather_normalize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ursa_gather_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ursa_dataio_version.restype = ctypes.c_int32
+        assert lib.ursa_dataio_version() == 1
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def permutation(n: int, seed: int) -> np.ndarray:
+    lib = _load_lib()
+    if lib is None:
+        return np.random.default_rng(seed).permutation(n).astype(np.int64)
+    out = np.empty(n, np.int64)
+    lib.ursa_permutation(n, seed, _ptr(out, ctypes.c_int64))
+    return out
+
+
+def gather_normalize(
+    images: np.ndarray, labels: np.ndarray, indices: np.ndarray,
+    mean: np.ndarray, std: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(batch, H, W, C) float32 normalized + (batch,) int32 labels."""
+    n, h, w, c = images.shape
+    b = indices.shape[0]
+    lib = _load_lib()
+    if lib is None:
+        x = (images[indices].astype(np.float32) / 255.0 - mean) / std
+        return x, labels[indices].astype(np.int32)
+    images = np.ascontiguousarray(images)
+    labels64 = np.ascontiguousarray(labels, np.int64)
+    idx = np.ascontiguousarray(indices, np.int64)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    out_x = np.empty((b, h, w, c), np.float32)
+    out_y = np.empty(b, np.int32)
+    lib.ursa_gather_normalize(
+        _ptr(images, ctypes.c_uint8), _ptr(labels64, ctypes.c_int64),
+        h * w, c, _ptr(idx, ctypes.c_int64), b,
+        _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
+        _ptr(out_x, ctypes.c_float), _ptr(out_y, ctypes.c_int32),
+    )
+    return out_x, out_y
+
+
+def gather_u8(
+    images: np.ndarray, labels: np.ndarray, indices: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    n = images.shape[0]
+    b = indices.shape[0]
+    lib = _load_lib()
+    if lib is None:
+        return images[indices], labels[indices].astype(np.int32)
+    images = np.ascontiguousarray(images)
+    labels64 = np.ascontiguousarray(labels, np.int64)
+    idx = np.ascontiguousarray(indices, np.int64)
+    item = int(np.prod(images.shape[1:]))
+    out_x = np.empty((b,) + images.shape[1:], np.uint8)
+    out_y = np.empty(b, np.int32)
+    lib.ursa_gather_u8(
+        _ptr(images, ctypes.c_uint8), _ptr(labels64, ctypes.c_int64), item,
+        _ptr(idx, ctypes.c_int64), b, _ptr(out_x, ctypes.c_uint8),
+        _ptr(out_y, ctypes.c_int32),
+    )
+    return out_x, out_y
+
+
+class HostStreamingSplit:
+    """Shuffled epoch iterator over a host-resident dataset with
+    double-buffered device transfer — the streaming alternative to
+    DataSplit's fully device-resident layout."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
+                 spec, shuffle: bool = True, seed: int = 0):
+        self.images = images
+        self.labels = labels
+        self.batch_size = batch_size
+        self.spec = spec
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    @property
+    def n(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def num_batches(self) -> int:
+        return self.n // self.batch_size
+
+    def epoch(self) -> Iterator:
+        import jax
+
+        mean = np.asarray(self.spec.mean, np.float32)
+        std = np.asarray(self.spec.std, np.float32)
+        if self.shuffle:
+            order = permutation(self.n, self.seed + self._epoch)
+        else:
+            order = np.arange(self.n, dtype=np.int64)
+        self._epoch += 1
+        bsz = self.batch_size
+
+        def host_batch(i):
+            idx = order[i * bsz: (i + 1) * bsz]
+            x, y = gather_normalize(self.images, self.labels, idx, mean, std)
+            return jax.device_put(x), jax.device_put(y)
+
+        # double buffer: overlap host gather of batch i+1 with device compute
+        nb = self.num_batches
+        if nb == 0:
+            return
+        nxt = host_batch(0)
+        for i in range(nb):
+            cur = nxt
+            if i + 1 < nb:
+                nxt = host_batch(i + 1)
+            yield cur
