@@ -1,0 +1,80 @@
+"""Data layer: loaders semantics, splits, imbalance, loaders_inc, logging."""
+
+import numpy as np
+
+from ursabench_tpu import data
+
+
+def test_validation_split_disjoint():
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=True, val_size=0.25,
+        synthetic_n_train=200, seed=3,
+    )
+    assert splits["train"].n == 150 and splits["test"].n == 50
+    # deterministic given seed
+    splits2, _ = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=True, val_size=0.25,
+        synthetic_n_train=200, seed=3,
+    )
+    np.testing.assert_array_equal(splits["train"].labels, splits2["train"].labels)
+
+
+def test_split_classes_cifar10():
+    splits, C = data.loaders(
+        "CIFAR10", None, batch_size=32, use_validation=False,
+        split_classes=0, synthetic_n_train=400, synthetic_n_test=200,
+    )
+    assert C == 5
+    assert set(np.unique(splits["train"].labels)) <= {0, 1, 2, 3, 4}
+
+
+def test_imbalance_injection():
+    splits, _ = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False, imbalance=True,
+        synthetic_n_train=2000, synthetic_n_test=100,
+    )
+    y = splits["train"].labels
+    counts = np.bincount(y, minlength=10)
+    # classes 3 and 7 reduced to ~1% of their original count
+    others = np.mean([counts[i] for i in range(10) if i not in (3, 7)])
+    assert counts[3] < 0.1 * others and counts[7] < 0.1 * others
+
+
+def test_loaders_inc_chunks():
+    loaders, C = data.loaders_inc(
+        "MNIST", None, num_chunks=3, batch_size=32, use_validation=True,
+        val_size=40, synthetic_n_train=400, seed=1,
+    )
+    chunks = loaders["train"]
+    assert len(chunks) == 3
+    assert sum(c.n for c in chunks) == 360
+    assert loaders["test"].n == 40
+    # chunks disjoint
+    all_idx = np.concatenate([c.labels for c in chunks])
+    assert len(all_idx) == 360
+
+
+def test_stl10_remap_applied():
+    # synthetic STL path also applies the class remap table
+    x, y, synth = data.sources.load_raw("STL10", None, train=False)
+    assert synth and set(np.unique(y)) <= set(range(10))
+
+
+def test_metric_logger(tmp_path):
+    import json
+
+    from ursabench_tpu.logging_utils import MetricLogger, silent
+
+    log = MetricLogger(str(tmp_path / "m.jsonl"))
+    log.log({"loss": 1.5}, step=0)
+    log.log({"loss": 1.2}, step=1)
+    log.close()
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 1
+
+    @silent
+    def noisy():
+        print("should not appear")
+        return 7
+
+    assert noisy() == 7

@@ -139,7 +139,63 @@ def _svhn_loaders(
     )
 
 
+def loaders_inc(
+    dataset: str,
+    path: str | None,
+    num_chunks: int,
+    batch_size: int,
+    num_workers: int = 0,
+    transform_train: ImageSpec | None = None,
+    transform_test: ImageSpec | None = None,
+    use_validation: bool = True,
+    val_size: int = 5000,
+    shuffle_train: bool = True,
+    seed: int = 1,
+    synthetic_n_train: int | None = None,
+    synthetic_n_test: int | None = None,
+):
+    """Incremental chunked loaders — parity with
+    /root/reference/URSABench/datasets.py:264-326: one seeded permutation,
+    the train set split into ``num_chunks`` ceil-divided chunks, validation
+    carved from the permutation tail."""
+    assert dataset in {"MNIST", "CIFAR10", "CIFAR100"}
+    del num_workers
+    x_tr, y_tr, _ = load_raw(dataset, path, train=True, synthetic_n=synthetic_n_train)
+    num_classes = int(y_tr.max()) + 1
+    total = len(x_tr)
+    num_samples = (total - val_size) if use_validation else total
+    order = np.random.RandomState(seed).permutation(total)
+
+    spec_tr = transform_train or ImageSpec(
+        x_tr.shape[1], x_tr.shape[3], (0.5,) * x_tr.shape[3], (0.5,) * x_tr.shape[3]
+    )
+    spec_te = transform_test or spec_tr
+
+    chunks = []
+    offset = 0
+    remaining = num_samples
+    for i in range(num_chunks, 0, -1):
+        chunk_size = (remaining + i - 1) // i
+        sel = order[offset: offset + chunk_size]
+        chunks.append(
+            DataSplit(x_tr[sel], y_tr[sel], batch_size, spec_tr,
+                      shuffle=shuffle_train, dataset_name=dataset)
+        )
+        offset += chunk_size
+        remaining -= chunk_size
+
+    if use_validation:
+        sel = order[-val_size:]
+        test = DataSplit(x_tr[sel], y_tr[sel], batch_size, spec_te,
+                         dataset_name=dataset)
+    else:
+        x_te, y_te, _ = load_raw(dataset, path, train=False,
+                                 synthetic_n=synthetic_n_test)
+        test = DataSplit(x_te, y_te, batch_size, spec_te, dataset_name=dataset)
+    return {"train": chunks, "test": test}, num_classes
+
+
 __all__ = [
-    "loaders", "DataSplit", "ImageSpec", "c10_classes",
+    "loaders", "loaders_inc", "DataSplit", "ImageSpec", "c10_classes",
     "increase_data_imbalance", "DATASET_PROFILES", "synthetic",
 ]

@@ -26,6 +26,7 @@ class _Inference:
         model_loss: str = "multi_class_linear_output",
         key: Optional[jax.Array] = None,
         chains: int = 1,
+        mesh=None,
     ):
         if model_loss != "multi_class_linear_output":
             raise NotImplementedError(model_loss)
@@ -34,8 +35,20 @@ class _Inference:
         self.model_loss = model_loss
         self.key = key if key is not None else jax.random.PRNGKey(0)
         self.chains = int(chains)
+        self.mesh = mesh  # ('chain', ...) mesh: chain axis sharded across devices
         self.hyperparameters = hyperparameters
         self._val_loss_cache = {}
+
+    def shard_chain_state(self, state):
+        """Place a chains-leading TrainState on the mesh, sharded over the
+        'chain' axis — jit then partitions every epoch program across
+        devices with no code changes (GSPMD)."""
+        if self.mesh is None or self.chains <= 1:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P("chain"))
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
     # -- protocol ------------------------------------------------------------
 

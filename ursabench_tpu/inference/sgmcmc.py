@@ -53,8 +53,10 @@ class SGHMC(_Inference):
     _ETA_MIN_FRACTION_UPDATE = 0.5  # update_hyp sets eta_min=lr/2 (sghmc.py:61-63)
 
     def __init__(self, hyperparameters, model=None, train=None,
-                 model_loss="multi_class_linear_output", key=None, chains=1):
-        super().__init__(hyperparameters, model, train, model_loss, key, chains)
+                 model_loss="multi_class_linear_output", key=None, chains=1,
+                 mesh=None):
+        super().__init__(hyperparameters, model, train, model_loss, key, chains,
+                         mesh)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters, eta_min_fraction=self._ETA_MIN_FRACTION_INIT)
@@ -107,7 +109,7 @@ class SGHMC(_Inference):
         if self.chains == 1:
             return one(self.next_key())
         keys = jax.random.split(self.next_key(), self.chains)
-        return jax.vmap(one)(keys)
+        return self.shard_chain_state(jax.vmap(one)(keys))
 
     def update_hyp(self, hyperparameters: dict):
         """Reset weights + optimizer state and adopt new hypers
@@ -189,8 +191,10 @@ class cSGHMC(_Inference):
     _FORCE_ALPHA: Optional[float] = None
 
     def __init__(self, hyperparameters, model=None, train=None,
-                 model_loss="multi_class_linear_output", key=None, chains=1):
-        super().__init__(hyperparameters, model, train, model_loss, key, chains)
+                 model_loss="multi_class_linear_output", key=None, chains=1,
+                 mesh=None):
+        super().__init__(hyperparameters, model, train, model_loss, key, chains,
+                         mesh)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters)
