@@ -8,8 +8,10 @@ run_seq_hypOpt.py:7) — here all three searchers export cleanly.
 from .bayesopt import BayesOpt
 from .gp import GP
 from .search import GridSearch, RandomSearch, _HypOpt
+from .vectorized import vectorized_random_search
 
-__all__ = ["RandomSearch", "GridSearch", "BayesOpt", "GP", "_HypOpt"]
+__all__ = ["RandomSearch", "GridSearch", "BayesOpt", "GP", "_HypOpt",
+           "vectorized_random_search"]
 
 
 def get_hypopt(name: str):
