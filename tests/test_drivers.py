@@ -128,3 +128,18 @@ def test_profiling_sweep(tmp_path):
         assert "bf16" in tab and "fp32" in tab and "tabular" in tab
     finally:
         lat.WARM_UP_ITERS, lat.REPS_PER_BATCH, lat.BURN_IN_BATCHES = orig
+
+
+def test_prediction_latency_mode_and_profile():
+    import jax
+
+    from ursabench_tpu import data, models, tasks
+    from ursabench_tpu.profiling import ProfileConfig
+    from ursabench_tpu.profiling.latency import profile_prediction
+
+    splits, C = data.loaders("MNIST", None, batch_size=32, use_validation=False,
+                             synthetic_n_train=64, synthetic_n_test=96)
+    cfg = ProfileConfig("MLP200MNIST", "MNIST", "fp32", 2, 32)
+    out = profile_prediction(cfg, splits, C)
+    assert out["latency_mean_s"] > 0
+    assert "error_rate" in out["metrics"]

@@ -39,8 +39,9 @@ def one_cycle_lr(max_lr: float, total_steps: int, pct_start: float = 0.3,
     """torch OneCycleLR (cos anneal) closed form over the global step."""
     initial_lr = max_lr / div_factor
     min_lr = initial_lr / final_div_factor
+    # torch OneCycleLR: peak at step int(pct*total)-1, floor at total-1
     up_steps = float(max(1, int(pct_start * total_steps) - 1))
-    down_steps = float(max(1, total_steps - int(pct_start * total_steps) - 1))
+    down_steps = float(max(1, (total_steps - 1) - int(up_steps)))
 
     def lr_fn(epoch, batch_idx, step):
         del epoch, batch_idx

@@ -123,6 +123,51 @@ def profile_config(cfg: ProfileConfig, trace_dir: str | None = None) -> dict:
     }
 
 
+def profile_prediction(cfg: ProfileConfig, splits, num_classes: int,
+                       sampler=None) -> dict:
+    """Combined metrics + latency profiling — the run_prediction.py
+    equivalent (trtprof/run_prediction.py:197-243): run the Prediction task
+    in latency_mode over a real test split with a sampled (or
+    randomly-initialized) ensemble, aggregate per-batch latency with the
+    10-batch burn-in (get_latency, run_prediction.py:70-78)."""
+    from .. import models, tasks
+    from ..inference.engine import init_variables
+    from ..inference.ensemble import Ensemble
+    from ..util import tree_stack
+
+    mcfg = models.get_model(cfg.model)
+    module = mcfg.build(num_classes)
+    if sampler is not None:
+        ensemble = sampler.sample(num_samples=cfg.ensemble_size)
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(0), cfg.ensemble_size)
+        variables = [
+            init_variables(module, k, mcfg.transform_test.shape) for k in keys
+        ]
+        params = tree_stack([v["params"] for v in variables])
+        bstats = None
+        if variables[0].get("batch_stats"):
+            bstats = tree_stack([v["batch_stats"] for v in variables])
+        ensemble = Ensemble(module, params, bstats, cfg.ensemble_size)
+
+    task = tasks.Prediction(
+        {"in_distribution_test": splits["test"]}, num_classes,
+        metric_list="ALL", latency_mode=True,
+    )
+    task.update_statistics(ensemble, output_performance=False)
+    metrics = task.get_performance_metrics()
+    lats = np.asarray(task.latencies[BURN_IN_BATCHES:]
+                      if len(task.latencies) > BURN_IN_BATCHES
+                      else task.latencies)
+    return {
+        **asdict(cfg),
+        "latency_mean_s": float(lats.mean()),
+        "latency_std_s": float(lats.std()),
+        "metrics": {k: float(v) for k, v in metrics.items()},
+        "device": str(jax.devices()[0]),
+    }
+
+
 def run_sweep(configs, cache_path: str, trace_dir: str | None = None) -> dict:
     """JSON-cached sweep with resume (run_prediction.py:127-141 pattern)."""
     cache = {}

@@ -29,7 +29,8 @@ class Prediction(_Task):
         "misclass_confidence_auroc", "misclass_confidence_aucpr",
     ]
 
-    def __init__(self, dataloader, num_classes, device=None, metric_list="ALL"):
+    def __init__(self, dataloader, num_classes, device=None, metric_list="ALL",
+                 latency_mode=False):
         super().__init__(dataloader, num_classes, device)
         self.split = dataloader["in_distribution_test"]
         self.num_classes = num_classes
@@ -42,6 +43,11 @@ class Prediction(_Task):
         )
         assert all(m in self.supported_metric_list for m in self.required_metric_list)
         self.targets = np.asarray(self.split.labels)
+        # latency_mode records per-batch wall time during update_statistics —
+        # the API the reference's trtprof/run_prediction.py:198-234 expected
+        # but the shipped Prediction never implemented (SURVEY.md §5 drift).
+        self.latency_mode = latency_mode
+        self.latencies: list = []
 
     def reset(self):
         self.num_samples_collected = 0
@@ -50,11 +56,32 @@ class Prediction(_Task):
 
     def update_statistics(self, models: Ensemble, output_performance=True, smoothing=True):
         self.num_samples_collected += models.num_members
-        probs, ent = accumulate_split(models, self.split, smooth_probs=False)
+        if self.latency_mode:
+            probs, ent = self._accumulate_timed(models)
+        else:
+            probs, ent = accumulate_split(models, self.split, smooth_probs=False)
         self.ensemble_proba += probs
         self.expected_data_uncertainty += ent
         if output_performance:
             return self.get_performance_metrics(output_performance, smoothing)
+
+    def _accumulate_timed(self, models: Ensemble):
+        import time
+
+        from ..util import central_smoothing as _cs
+        from ..util import predictive_entropy as _pe
+        from ..util import softmax_probs as _sp
+
+        probs_chunks, ent_chunks = [], []
+        for bi, (x, _) in enumerate(self.split.batches()):
+            t0 = time.perf_counter()
+            logits = models.logits_all(x, bi)
+            jnp.asarray(logits).block_until_ready()
+            self.latencies.append(time.perf_counter() - t0)
+            p = _sp(logits)
+            probs_chunks.append(np.asarray(jnp.sum(p, axis=0)))
+            ent_chunks.append(np.asarray(jnp.sum(_pe(_cs(p)), axis=0)))
+        return np.concatenate(probs_chunks), np.concatenate(ent_chunks)
 
     def get_performance_metrics(self, output_performance=False, smoothing=True):
         mean_probs = jnp.asarray(self.ensemble_proba / self.num_samples_collected)
