@@ -78,3 +78,29 @@ def test_metric_logger(tmp_path):
         return 7
 
     assert noisy() == 7
+
+
+def test_image_folder_reader(tmp_path):
+    from PIL import Image
+
+    from ursabench_tpu.data.sources import read_image_folder
+
+    for cls in ("cat", "dog"):
+        d = tmp_path / cls / "images"
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.new("RGB", (64, 64), color=(i * 40, 0, 0)).save(
+                d / f"{i}.JPEG"
+            )
+    x, y = read_image_folder(str(tmp_path), 64)
+    assert x.shape == (6, 64, 64, 3)
+    assert list(np.bincount(y)) == [3, 3]  # cat=0, dog=1 (sorted)
+
+
+def test_tin_synthetic_profile():
+    from ursabench_tpu import data
+
+    splits, C = data.loaders("TIN", None, batch_size=32, use_validation=False,
+                             synthetic_n_train=64, synthetic_n_test=32)
+    assert C == 200
+    assert splits["train"].images.shape[1:] == (64, 64, 3)

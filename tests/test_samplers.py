@@ -137,3 +137,18 @@ def test_subspace_pca_matches_sklearn():
             np.abs(ours[i] - ref[i]).max(), np.abs(ours[i] + ref[i]).max()
         )
         assert match < 1e-3
+
+
+def test_deep_ensemble(tiny):
+    splits, C, module = tiny
+    de = inference.DeepEnsemble(
+        {"lr": 0.05, "epochs": 2, "momentum": 0.9, "weight_decay": 1e-4,
+         "num_members": 3},
+        model=module, train=splits["train"], key=jax.random.PRNGKey(8),
+    )
+    ens = de.sample()
+    assert ens.num_members == 3
+    p = jax.tree.leaves(ens.params)[0]
+    # members trained from independent inits -> distinct weights
+    assert not np.allclose(np.asarray(p[0]), np.asarray(p[1]))
+    assert not np.allclose(np.asarray(p[1]), np.asarray(p[2]))

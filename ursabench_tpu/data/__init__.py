@@ -66,7 +66,12 @@ def loaders(
         )
 
     x_tr, y_tr, _ = load_raw(dataset, path, train=True, synthetic_n=synthetic_n_train)
-    num_classes = int(y_tr.max()) + 1
+    # profile count when known — max(labels)+1 (the reference's inference,
+    # datasets.py:171) undercounts on small synthetic subsets
+    if dataset in DATASET_PROFILES:
+        num_classes = DATASET_PROFILES[dataset][2]
+    else:
+        num_classes = int(y_tr.max()) + 1
 
     if imbalance and dataset in _IMBALANCE:
         labels, frac = _IMBALANCE[dataset]

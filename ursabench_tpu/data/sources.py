@@ -106,6 +106,40 @@ def read_svhn(root: str, split: str) -> Tuple[np.ndarray, np.ndarray] | None:
     return x, y
 
 
+def read_image_folder(root: str, size: int) -> Tuple[np.ndarray, np.ndarray] | None:
+    """torchvision ImageFolder-equivalent: root/<class>/**/*.{jpeg,jpg,png},
+    classes sorted alphabetically -> label ids (the tin_loaders path,
+    datasets.py:101-135). Requires PIL; returns None if absent/empty."""
+    if not os.path.isdir(root):
+        return None
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    xs, ys = [], []
+    for label, cls in enumerate(classes):
+        for dirpath, _, files in os.walk(os.path.join(root, cls)):
+            for fn in sorted(files):
+                if not fn.lower().endswith((".jpeg", ".jpg", ".png")):
+                    continue
+                img = Image.open(os.path.join(dirpath, fn)).convert("RGB")
+                if img.size != (size, size):
+                    img = img.resize((size, size))
+                xs.append(np.asarray(img, np.uint8))
+                ys.append(label)
+    if not xs:
+        return None
+    return np.stack(xs), np.asarray(ys, np.int64)
+
+
+def read_tin(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
+    """TinyImageNet directory layout: <root>/{train,test}/<class>/..."""
+    return read_image_folder(os.path.join(root, "train" if train else "test"), 64)
+
+
 def read_stl10(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
     base = os.path.join(root, "stl10_binary")
     kind = "train" if train else "test"
@@ -168,6 +202,8 @@ def load_raw(
             out = read_svhn(root, "train" if train else "test")
         elif name == "STL10":
             out = read_stl10(root, train)
+        elif name == "TIN":
+            out = read_tin(root, train)
     if out is not None:
         x, y = out
         if name == "STL10":

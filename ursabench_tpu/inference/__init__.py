@@ -9,7 +9,7 @@ from .base import _Inference
 from .ensemble import Ensemble
 from .hmc import HMC
 from .pca_subspace import PCASubspaceSampler
-from .sgd_map import SGD, MCdropout
+from .sgd_map import SGD, DeepEnsemble, MCdropout
 from .sgmcmc import SGHMC, SGLD, cSGHMC, cSGLD
 from .subspaces import Subspace, SubspaceModel
 from .swa import SWA
@@ -17,8 +17,8 @@ from .swag import SWAG
 
 __all__ = [
     "_Inference", "Ensemble", "SGHMC", "SGLD", "cSGHMC", "cSGLD",
-    "SGD", "MCdropout", "SWA", "SWAG", "PCASubspaceSampler", "HMC",
-    "Subspace", "SubspaceModel",
+    "SGD", "DeepEnsemble", "MCdropout", "SWA", "SWAG", "PCASubspaceSampler",
+    "HMC", "Subspace", "SubspaceModel",
 ]
 
 

@@ -63,8 +63,10 @@ class SGD(_Inference):
     _DEFAULT_HYP = {"lr": 0.1, "epochs": 10, "momentum": 0.9, "weight_decay": 0.001}
 
     def __init__(self, hyperparameters, model=None, train=None,
-                 model_loss="multi_class_linear_output", key=None, chains=1):
-        super().__init__(hyperparameters, model, train, model_loss, key, chains)
+                 model_loss="multi_class_linear_output", key=None, chains=1,
+                 mesh=None):
+        super().__init__(hyperparameters, model, train, model_loss, key, chains,
+                         mesh)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters, eta_min_fraction=0.01)
@@ -116,6 +118,30 @@ class SGD(_Inference):
         return SGHMC._ensemble_from_draws(self, draws)
 
 
+class DeepEnsemble(SGD):
+    """Deep ensemble of independently-initialized MAP models (BASELINE.md
+    config 3). TPU-native construction: ensemble members ARE parallel
+    chains — K independent SGD trainings advance in one vmapped (optionally
+    mesh-sharded) epoch program; ``sample()`` yields the K-member Ensemble.
+
+    hyp adds 'num_members' (default 5); other keys as SGD.
+    """
+
+    def __init__(self, hyperparameters, model=None, train=None,
+                 model_loss="multi_class_linear_output", key=None, chains=None,
+                 mesh=None):
+        hyperparameters = dict(hyperparameters or
+                               {**SGD._DEFAULT_HYP, "num_members": 5})
+        members = int(hyperparameters.get("num_members", 5))
+        super().__init__(hyperparameters, model=model, train=train,
+                         model_loss=model_loss, key=key,
+                         chains=chains or members, mesh=mesh)
+
+    def sample(self, num_samples=None, val_loader=None, debug_val_loss=False) -> Ensemble:
+        del num_samples  # one draw per member; members = chains
+        return super().sample(num_samples=1)
+
+
 class MCdropout(_Inference):
     _DEFAULT_HYP = {
         "lr": 0.1, "epochs": 10, "dropout": 0.2, "lengthscale": 0.01,
@@ -124,7 +150,7 @@ class MCdropout(_Inference):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
-                 model_name: str | None = None):
+                 mesh=None, model_name: str | None = None):
         """``model`` may be a base module; pass ``model_name`` to resolve the
         `_dropout` twin from the registry (vi_dropout.py:13-22), or pass the
         dropout module directly."""
@@ -134,7 +160,8 @@ class MCdropout(_Inference):
             cfg = model_zoo.dropout_twin(model_name)
             num_classes = getattr(model, "num_classes", None) or 10
             model = cfg.build(num_classes)
-        super().__init__(hyperparameters, model, train, model_loss, key, chains)
+        super().__init__(hyperparameters, model, train, model_loss, key, chains,
+                         mesh)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters)
