@@ -14,14 +14,16 @@ from ..nn.init import fan_out_normal_init, torch_linear_bias_init, torch_linear_
 from .common import ModelCfg, register
 
 
-def _bn(train: bool) -> nn.BatchNorm:
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
+def _bn(train: bool, dtype=None) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype)
 
 
-def _conv(features: int, kernel: int, stride: int = 1) -> nn.Conv:
+def _conv(features: int, kernel: int, stride: int = 1, dtype=None) -> nn.Conv:
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
         padding=kernel // 2, use_bias=False, kernel_init=fan_out_normal_init,
+        dtype=dtype,
     )
 
 
@@ -29,13 +31,17 @@ class PreBasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.relu(_bn(train)(x))
-        residual = _conv(self.planes, 1, self.stride)(x) if self.downsample else x
-        out = _conv(self.planes, 3, self.stride)(out)
-        out = _conv(self.planes, 3)(nn.relu(_bn(train)(out)))
+        d = self.dtype
+        out = nn.relu(_bn(train, d)(x))
+        residual = (
+            _conv(self.planes, 1, self.stride, d)(x) if self.downsample else x
+        )
+        out = _conv(self.planes, 3, self.stride, d)(out)
+        out = _conv(self.planes, 3, dtype=d)(nn.relu(_bn(train, d)(out)))
         return out + residual
 
 
@@ -43,25 +49,29 @@ class PreBottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.relu(_bn(train)(x))
+        d = self.dtype
+        out = nn.relu(_bn(train, d)(x))
         residual = (
-            _conv(self.planes * 4, 1, self.stride)(x) if self.downsample else x
+            _conv(self.planes * 4, 1, self.stride, d)(x) if self.downsample else x
         )
-        out = _conv(self.planes, 1)(out)
-        out = _conv(self.planes, 3, self.stride)(nn.relu(_bn(train)(out)))
-        out = _conv(self.planes * 4, 1)(nn.relu(_bn(train)(out)))
+        out = _conv(self.planes, 1, dtype=d)(out)
+        out = _conv(self.planes, 3, self.stride, d)(nn.relu(_bn(train, d)(out)))
+        out = _conv(self.planes * 4, 1, dtype=d)(nn.relu(_bn(train, d)(out)))
         return out + residual
 
 
 class PreResNet(nn.Module):
     depth: int = 110
     num_classes: int = 10
+    dtype: object = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         if self.depth >= 44:
             assert (self.depth - 2) % 9 == 0, "depth should be 9n+2"
             n, block, expansion = (self.depth - 2) // 9, PreBottleneck, 4
@@ -69,16 +79,16 @@ class PreResNet(nn.Module):
             assert (self.depth - 2) % 6 == 0, "depth should be 6n+2"
             n, block, expansion = (self.depth - 2) // 6, PreBasicBlock, 1
 
-        out = _conv(16, 3)(x)
+        out = _conv(16, 3, dtype=d)(x)
         inplanes = 16
         for planes, stride in zip((16, 32, 64), (1, 2, 2)):
             for i in range(n):
                 s = stride if i == 0 else 1
                 down = i == 0 and (s != 1 or inplanes != planes * expansion)
-                out = block(planes, s, down)(out, train)
+                out = block(planes, s, down, d)(out, train)
                 inplanes = planes * expansion
-        out = nn.relu(_bn(train)(out))
-        out = jnp.mean(out, axis=(1, 2))
+        out = nn.relu(_bn(train, d)(out))
+        out = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
         return nn.Dense(
             self.num_classes, kernel_init=torch_linear_kernel_init,
             bias_init=torch_linear_bias_init(64 * expansion),
@@ -90,7 +100,8 @@ def _cfg(name: str, depth: int) -> ModelCfg:
         ModelCfg(
             name=name,
             make=lambda num_classes, **kw: PreResNet(
-                depth=kw.get("depth", depth), num_classes=num_classes
+                depth=kw.get("depth", depth), num_classes=num_classes,
+                dtype=kw.get("dtype"),
             ),
             transform_train=CIFAR_TRAIN,
             transform_test=CIFAR_TEST,

@@ -17,26 +17,30 @@ from ..nn.init import kaiming_normal_init, torch_linear_bias_init
 from .common import ModelCfg, register
 
 
-def _bn(train: bool, **kw) -> nn.BatchNorm:
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, **kw)
+def _bn(train: bool, dtype=None, **kw) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype, **kw)
 
 
-def _conv(features: int, kernel: int, stride: int = 1) -> nn.Conv:
+def _conv(features: int, kernel: int, stride: int = 1, dtype=None) -> nn.Conv:
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
         padding=kernel // 2, use_bias=False, kernel_init=kaiming_normal_init,
+        dtype=dtype,
     )
 
 
 class BasicBlockA(nn.Module):
     planes: int
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         in_planes = x.shape[-1]
-        out = nn.relu(_bn(train)(_conv(self.planes, 3, self.stride)(x)))
-        out = _bn(train)(_conv(self.planes, 3)(out))
+        out = nn.relu(_bn(train, d)(_conv(self.planes, 3, self.stride, d)(x)))
+        out = _bn(train, d)(_conv(self.planes, 3, dtype=d)(out))
         shortcut = x
         if self.stride != 1 or in_planes != self.planes:
             # option A: subsample + zero-pad channels (resnet.py:42-44)
@@ -49,15 +53,17 @@ class BasicBlockA(nn.Module):
 class CifarResNet(nn.Module):
     num_blocks: Sequence[int]
     num_classes: int = 10
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.relu(_bn(train)(_conv(16, 3)(x)))
+        d = self.dtype
+        out = nn.relu(_bn(train, d)(_conv(16, 3, dtype=d)(x)))
         for planes, n, stride in zip((16, 32, 64), self.num_blocks, (1, 2, 2)):
             strides = [stride] + [1] * (n - 1)
             for s in strides:
-                out = BasicBlockA(planes, s)(out, train)
-        out = jnp.mean(out, axis=(1, 2))
+                out = BasicBlockA(planes, s, d)(out, train)
+        out = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
         return nn.Dense(
             self.num_classes, kernel_init=kaiming_normal_init,
             bias_init=torch_linear_bias_init(64),
@@ -69,7 +75,8 @@ def _cfg(name: str, blocks) -> ModelCfg:
         ModelCfg(
             name=name,
             make=lambda num_classes, **kw: CifarResNet(
-                num_blocks=kw.get("num_blocks", blocks), num_classes=num_classes
+                num_blocks=kw.get("num_blocks", blocks), num_classes=num_classes,
+                dtype=kw.get("dtype"),
             ),
             transform_train=CIFAR_TRAIN,
             transform_test=CIFAR_TEST,

@@ -16,46 +16,54 @@ from ..nn.init import kaiming_normal_init, torch_linear_bias_init
 from .common import ModelCfg, register
 
 
-def _bn(train: bool) -> nn.BatchNorm:
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
+def _bn(train: bool, dtype=None) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype)
 
 
-def _conv(features: int, kernel: int, stride: int = 1) -> nn.Conv:
+def _conv(features: int, kernel: int, stride: int = 1, dtype=None) -> nn.Conv:
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
         padding=kernel // 2, use_bias=False, kernel_init=kaiming_normal_init,
+        dtype=dtype,
     )
 
 
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         in_planes = x.shape[-1]
-        out = nn.relu(_bn(train)(_conv(self.planes, 3, self.stride)(x)))
-        out = _bn(train)(_conv(self.planes, 3)(out))
+        out = nn.relu(_bn(train, d)(_conv(self.planes, 3, self.stride, d)(x)))
+        out = _bn(train, d)(_conv(self.planes, 3, dtype=d)(out))
         shortcut = x
         if self.stride != 1 or in_planes != self.planes:
-            shortcut = _bn(train)(_conv(self.planes, 1, self.stride)(x))
+            shortcut = _bn(train, d)(_conv(self.planes, 1, self.stride, d)(x))
         return nn.relu(out + shortcut)
 
 
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         in_planes = x.shape[-1]
         expansion = 4
-        out = nn.relu(_bn(train)(_conv(self.planes, 1)(x)))
-        out = nn.relu(_bn(train)(_conv(self.planes, 3, self.stride)(out)))
-        out = _bn(train)(_conv(self.planes * expansion, 1)(out))
+        out = nn.relu(_bn(train, d)(_conv(self.planes, 1, dtype=d)(x)))
+        out = nn.relu(_bn(train, d)(_conv(self.planes, 3, self.stride, d)(out)))
+        out = _bn(train, d)(_conv(self.planes * expansion, 1, dtype=d)(out))
         shortcut = x
         if self.stride != 1 or in_planes != self.planes * expansion:
-            shortcut = _bn(train)(_conv(self.planes * expansion, 1, self.stride)(x))
+            shortcut = _bn(train, d)(
+                _conv(self.planes * expansion, 1, self.stride, d)(x)
+            )
         return nn.relu(out + shortcut)
 
 
@@ -64,16 +72,18 @@ class INResNet(nn.Module):
     bottleneck: bool = False
     num_classes: int = 10
     dropout: float = 0.0  # final-layer MC dropout (twin only)
+    dtype: object = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         block = Bottleneck if self.bottleneck else BasicBlock
         expansion = 4 if self.bottleneck else 1
-        out = nn.relu(_bn(train)(_conv(64, 3)(x)))
+        out = nn.relu(_bn(train, d)(_conv(64, 3, dtype=d)(x)))
         for planes, n, stride in zip((64, 128, 256, 512), self.layers, (1, 2, 2, 2)):
             for i in range(n):
-                out = block(planes, stride if i == 0 else 1)(out, train)
-        out = jnp.mean(out, axis=(1, 2))
+                out = block(planes, stride if i == 0 else 1, d)(out, train)
+        out = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
         if self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=False)(out)
         return nn.Dense(

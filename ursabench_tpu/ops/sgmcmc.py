@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..util import Pytree
 
@@ -42,16 +43,21 @@ def sghmc_update(
     flat_p, treedef = jax.tree.flatten(params)
     flat_v = treedef.flatten_up_to(momentum_buf)
     flat_g = treedef.flatten_up_to(grads)
-    keys = jax.random.split(key, len(flat_p))
     noise_scale = jnp.sqrt(2.0 * (1.0 - momentum) * lr) / n_train
 
+    # one fused Gaussian draw for the whole tree (a single threefry program
+    # per step instead of one per leaf), sliced per leaf below
+    sizes = [int(np.prod(p.shape)) for p in flat_p]
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    eps_flat = jax.random.normal(key, (int(offsets[-1]),), jnp.float32)
+
     new_p, new_v = [], []
-    for p, v, g, k in zip(flat_p, flat_v, flat_g, keys):
+    for i, (p, v, g) in enumerate(zip(flat_p, flat_v, flat_g)):
         d = g + wd_over_n * p
         v_prev = jnp.where(is_first_step, d, v)
         v_new = momentum * v_prev - lr * d
-        eps = jax.random.normal(k, p.shape, p.dtype)
-        v_new = v_new + noise_on * noise_scale * eps
+        eps = eps_flat[int(offsets[i]): int(offsets[i + 1])].reshape(p.shape)
+        v_new = v_new + noise_on * noise_scale * eps.astype(p.dtype)
         new_p.append(p + v_new)
         new_v.append(v_new)
     return jax.tree.unflatten(treedef, new_p), jax.tree.unflatten(treedef, new_v)
