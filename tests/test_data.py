@@ -104,3 +104,30 @@ def test_tin_synthetic_profile():
                              synthetic_n_train=64, synthetic_n_test=32)
     assert C == 200
     assert splits["train"].images.shape[1:] == (64, 64, 3)
+
+
+def test_augment_normalized_padding_semantics():
+    """Pad border must equal the normalized zero pixel; flips/crops preserve
+    the multiset of interior values."""
+    import jax
+    import jax.numpy as jnp
+
+    from ursabench_tpu.data.transforms import (
+        CIFAR_TRAIN, augment_normalized, normalize,
+    )
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    x = normalize(jnp.asarray(raw), CIFAR_TRAIN)
+    out = np.asarray(augment_normalized(jax.random.PRNGKey(0), x, CIFAR_TRAIN))
+    assert out.shape == x.shape
+    pad_val = -np.asarray(CIFAR_TRAIN.mean) / np.asarray(CIFAR_TRAIN.std)
+    # some shifted crops expose the pad border, and the border equals the
+    # normalized zero pixel in ALL channels simultaneously
+    near_pad = np.all(np.isclose(out, pad_val, atol=1e-4), axis=-1)
+    assert near_pad.any()
+    # non-pad pixels must come from the source image's value set (per channel)
+    src0 = np.unique(np.round(np.asarray(x)[..., 0], 5))
+    vals0 = np.round(out[~near_pad][:, 0], 5)
+    matched = np.isin(vals0, src0) | np.isclose(vals0, pad_val[0], atol=1e-4)
+    assert matched.mean() > 0.999

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..data.arrays import DataSplit
-from ..data.transforms import augment, normalize
+from ..data.transforms import augment_normalized, normalize
 from ..ops.sgmcmc import sghmc_update
 from ..util import tree_stack, tree_zeros_like
 from .engine import TrainState, init_variables
@@ -67,9 +67,9 @@ def make_sweep_epoch_fn(module, split: DataSplit, t_max: int,
             bi, idx = inp
             x = jnp.take(images, idx, axis=0)
             y = jnp.take(labels, idx, axis=0)
-            if spec.random_crop_pad or spec.random_flip:
-                x = augment(jax.random.fold_in(k_aug, bi), x, spec)
             x = normalize(x, spec)
+            if spec.random_crop_pad or spec.random_flip:
+                x = augment_normalized(jax.random.fold_in(k_aug, bi), x, spec)
             (loss, new_bstats), grads = grad_fn(
                 params, bstats, x, y, jax.random.fold_in(k_drop, bi)
             )
