@@ -10,8 +10,7 @@ leading chain axis (per-chain PRNG streams).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ import optax
 from ..data.transforms import normalize
 from ..util import ravel, tree_stack, unraveler
 from .base import _Inference
-from .engine import init_variables
 from .ensemble import Ensemble
 
 

@@ -17,9 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sgmcmc import sgd_momentum_update
-from ..util import tree_zeros_like
 from .base import _Inference
-from .engine import TrainState, make_epoch_fn
+from .engine import make_epoch_fn
 from .ensemble import Ensemble
 
 

@@ -17,7 +17,6 @@ is no hand-written communication layer to maintain.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -27,7 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.transforms import ImageSpec, normalize
 from ..ops.sgmcmc import sghmc_update
-from ..util import Pytree
 
 
 def make_mesh(

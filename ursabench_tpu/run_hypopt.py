@@ -14,7 +14,6 @@ import json
 import subprocess
 
 import jax
-import numpy as np
 
 from . import data, hyperopt, inference, models, tasks
 from .util import json_open_from_file

@@ -10,7 +10,6 @@ The risk matmul runs fused with the vmapped ensemble forward.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..inference.ensemble import Ensemble
