@@ -108,6 +108,8 @@ def _cfg(name: str, layers, bottleneck: bool, dropout: float = 0.0) -> ModelCfg:
 INResNet18 = _cfg("INResNet18", (2, 2, 2, 2), False)
 INResNet34 = _cfg("INResNet34", (3, 4, 6, 3), False)
 INResNet50 = _cfg("INResNet50", (3, 4, 6, 3), True)
+# alias used by the tuned-hyperparameter library group names (ResNet50*)
+ResNet50 = _cfg("ResNet50", (3, 4, 6, 3), True)
 INResNet101 = _cfg("INResNet101", (3, 4, 23, 3), True)
 INResNet152 = _cfg("INResNet152", (3, 8, 36, 3), True)
 INResNet50_dropout = _cfg("INResNet50_dropout", (3, 4, 6, 3), True, dropout=0.2)
