@@ -97,3 +97,35 @@ def test_bayesopt_discrete_and_checkpoint(tmp_path):
                          save_path=str(tmp_path / "best"))
     assert (tmp_path / "best.json").exists()
     assert isinstance(best_hyp["burn"], int)
+
+
+def test_bayesopt_survives_diverged_configs():
+    """Non-finite objectives must not poison the GP (sanitized as very-bad)."""
+
+    class ExplodingInference(_QuadraticInference):
+        pass
+
+    class ExplodingTask(_QuadraticTask):
+        def update_statistics(self, hyp, output_performance=True):
+            if hyp["lr"] > 0.1:  # "diverges"
+                return float("nan")
+            return super().update_statistics(hyp)
+
+    bo = BayesOpt(ExplodingTask(), DOMAIN, ExplodingInference(),
+                  N_evaluations=4, init_evaluations=3, seed=3)
+    best_hyp, best_obj = bo.run(initialisation="RandomSearch")
+    assert np.isfinite(best_obj)
+    assert best_hyp["lr"] <= 0.1
+
+
+def test_sanitize_targets():
+    from ursabench_tpu.hyperopt.bayesopt import sanitize_targets
+
+    y = np.array([1.0, float("nan"), 3.0, float("-inf")])
+    out = sanitize_targets(y)
+    assert np.isfinite(out).all()
+    assert out[1] == out[3] == 1.0 - 2.0 - 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        sanitize_targets(np.array([float("nan")]))

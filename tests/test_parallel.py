@@ -41,3 +41,75 @@ def test_mesh_sharded_sghmc_chains():
 def test_make_mesh_two_axes():
     mesh = make_mesh(8)
     assert mesh.shape["chain"] * mesh.shape["data"] == 8
+
+
+def test_sharded_step_matches_single_device():
+    """The ('chain','data') shard_map step must produce the same update as
+    an unsharded reference computation (psum-mean grads == global mean)."""
+    import jax.numpy as jnp
+    import optax
+
+    from ursabench_tpu.data.transforms import CIFAR_TEST, normalize
+    from ursabench_tpu.inference.engine import init_variables
+    from ursabench_tpu.ops.sgmcmc import sghmc_update
+    from ursabench_tpu.parallel import make_mesh, sharded_sghmc_step
+    from ursabench_tpu.util import tree_stack
+
+    mesh = make_mesh(8)
+    chains = mesh.shape["chain"]
+    batch = 8 * mesh.shape["data"]
+    module = models.get_model("MLP200MNIST").build(10)
+    spec = CIFAR_TEST.__class__(28, 1, (0.1307,), (0.3081,))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), chains)
+    variables = [init_variables(module, k, (28, 28, 1)) for k in keys]
+    params = tree_stack([v["params"] for v in variables])
+    momentum = jax.tree.map(jnp.zeros_like, params)
+    bstats = tree_stack([v.get("batch_stats", {}) for v in variables])
+    chain_keys = jax.random.split(jax.random.PRNGKey(1), chains)
+
+    lr, mom_c, wd, n_train = 0.05, 0.9, 1.0, 256
+    step, state_sharding, batch_sharding = sharded_sghmc_step(
+        module, mesh, spec, chains=chains, n_train=n_train,
+        lr=lr, momentum=mom_c, wd=wd,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 255, (batch, 28, 28, 1)), jnp.uint8)
+    y = jnp.asarray(rng.integers(0, 10, (batch,)), jnp.int32)
+
+    place = lambda t: jax.tree.map(lambda a: jax.device_put(a, state_sharding), t)
+    state = (place(params), place(momentum), place(bstats), place(chain_keys))
+    new_params, new_mom, _, _ = step(
+        state, jax.device_put(x, batch_sharding),
+        jax.device_put(y, batch_sharding), jnp.asarray(0.0),  # noise off
+    )
+
+    # unsharded reference: global-mean gradient per chain + same update
+    xf = normalize(x, spec)
+
+    def ref_chain(p, b, k):
+        def loss(pp):
+            v = {"params": pp}
+            logits = module.apply(v, xf, train=True, mutable=["batch_stats"],
+                                  rngs={"dropout": jax.random.PRNGKey(0)})[0]
+            return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+        grads = jax.grad(loss)(p)
+        _, k_noise = jax.random.split(k)
+        return sghmc_update(
+            p, jax.tree.map(jnp.zeros_like, p), grads, lr=lr, momentum=mom_c,
+            wd_over_n=wd / n_train, n_train=float(n_train),
+            noise_on=jnp.asarray(0.0), is_first_step=jnp.asarray(False),
+            key=k_noise,
+        )[0]
+
+    for c in range(chains):
+        expect = ref_chain(
+            jax.tree.map(lambda a: a[c], params),
+            jax.tree.map(lambda a: a[c], bstats),
+            chain_keys[c],
+        )
+        got = jax.tree.map(lambda a: a[c], new_params)
+        for e, g in zip(jax.tree.leaves(expect), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(e), np.asarray(g),
+                                       rtol=2e-4, atol=2e-6)

@@ -152,3 +152,30 @@ def test_deep_ensemble(tiny):
     # members trained from independent inits -> distinct weights
     assert not np.allclose(np.asarray(p[0]), np.asarray(p[1]))
     assert not np.allclose(np.asarray(p[1]), np.asarray(p[2]))
+
+
+def test_update_hyp_reuses_compiled_epoch(tiny):
+    """update_hyp must not rebuild the jitted epoch program (hyperopt loops
+    would otherwise recompile every iteration)."""
+    splits, C, module = tiny
+    s = inference.SGLD(
+        {"lr": 0.03, "prior_std": 1.0, "num_samples": 1, "burn_in_epochs": 1},
+        model=module, train=splits["train"], key=jax.random.PRNGKey(0),
+    )
+    fn_before = s._epoch_fn
+    s.sample()
+    s.update_hyp({"lr": 0.1, "prior_std": 0.5, "num_samples": 1,
+                  "burn_in_epochs": 1})
+    assert s._epoch_fn is fn_before
+    s.sample()
+    # the traced-hyp path must actually change behavior: different lr values
+    # produce different parameters from identical keys
+    s2 = inference.SGLD(
+        {"lr": 0.03, "prior_std": 1.0, "num_samples": 1, "burn_in_epochs": 1},
+        model=module, train=splits["train"], key=jax.random.PRNGKey(5),
+    )
+    p_a = np.asarray(jax.tree.leaves(s2.sample().params)[0])
+    s2.update_hyp({"lr": 0.3, "prior_std": 1.0, "num_samples": 1,
+                   "burn_in_epochs": 1})
+    p_b = np.asarray(jax.tree.leaves(s2.sample().params)[0])
+    assert not np.allclose(p_a, p_b)

@@ -60,3 +60,30 @@ def test_sweep_objectives_pick_sane_lr():
     assert 1e-4 <= best_hyp["lr"] <= 0.3
     # the best config should actually have learned something
     assert best_obj > min(objs)
+
+
+def test_batched_bayesopt():
+    from ursabench_tpu.hyperopt import batched_bayesopt_sghmc
+
+    splits, C, module = _setup()
+
+    def task_factory():
+        return tasks.Prediction(
+            {"in_distribution_test": splits["test"]}, C, metric_list=["ll"]
+        )
+
+    domain = [
+        {"name": "lr", "type": "continuous", "domain": (1e-4, 0.3),
+         "option": "logspace"},
+        {"name": "prior_std", "type": "constant", "domain": 1.0},
+        {"name": "alpha", "type": "constant", "domain": 0.1},
+        {"name": "num_samples", "type": "constant", "domain": 2},
+        {"name": "burn_in_epochs", "type": "constant", "domain": 1},
+    ]
+    best_hyp, best_obj, hyps, objs = batched_bayesopt_sghmc(
+        domain, module, splits["train"], task_factory,
+        rounds=2, q=3, init_evaluations=3, seed=0,
+    )
+    assert len(objs) == 3 + 2 * 3
+    assert best_obj == max(objs)
+    assert 1e-4 <= best_hyp["lr"] <= 0.3

@@ -19,6 +19,24 @@ from .gp import GP, init_params
 from .search import GridSearch, RandomSearch, _BoundedSearch
 
 
+def sanitize_targets(y: np.ndarray) -> np.ndarray:
+    """Replace non-finite objectives with (worst finite - spread - 1) so the
+    GP sees diverged configs as very bad rather than NaN."""
+    y = np.asarray(y, np.float64)
+    finite = np.isfinite(y)
+    if finite.all():
+        return y
+    if not finite.any():
+        raise RuntimeError(
+            "All hyperopt objectives are non-finite — every evaluated "
+            "configuration diverged; widen/lower the search domain."
+        )
+    lo, hi = y[finite].min(), y[finite].max()
+    out = y.copy()
+    out[~finite] = lo - (hi - lo) - 1.0
+    return out
+
+
 class BayesOpt(_BoundedSearch):
     def __init__(self, obj_instance, domain, inference, time_limit=float("inf"),
                  N_evaluations=10, init_evaluations=3, threshold_evaluations=70,
@@ -70,7 +88,7 @@ class BayesOpt(_BoundedSearch):
         threshold_count = 0
         best_trace = []
         for iteration in range(self.N):
-            gp = GP(train_x, train_y, p0=gp_params)
+            gp = GP(train_x, sanitize_targets(train_y), p0=gp_params)
             gp_params = gp.params  # warm start next refit (:551)
             key, k_acq = jax.random.split(key)
             new_x = np.asarray(
@@ -78,6 +96,14 @@ class BayesOpt(_BoundedSearch):
                                 **self.optim_kwargs),
                 np.float64,
             )
+            if not np.isfinite(new_x).all():
+                # TPU f32 linalg can NaN silently on near-singular kernels;
+                # fall back to a uniform draw and reset the GP warm start
+                key, k_rand = jax.random.split(key)
+                u = np.asarray(jax.random.uniform(k_rand, (len(self.hyp_names_vary),)))
+                lo, hi = self.bounds[:, 0], self.bounds[:, 1]
+                new_x = lo + (hi - lo) * u
+                gp_params = init_params(train_x.shape[1])
             hyp = self._mk_hyp(new_x)
             obj = self.inference_step(hyp, verbose)
 

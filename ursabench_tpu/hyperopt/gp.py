@@ -160,3 +160,56 @@ class GP:
 
         xs, vs = jax.vmap(ascend)(top)
         return xs[jnp.argmax(vs)]
+
+    def optimize_ucb_batch(self, bounds: jnp.ndarray, key: jax.Array, q: int,
+                           beta: float = 0.1, raw_samples: int = 200,
+                           num_restarts: int = 20, ascent_steps: int = 50,
+                           min_dist: float = 1e-3) -> jnp.ndarray:
+        """Top-q *distinct* UCB ascent endpoints (greedy diversity filter) —
+        the acquisition batch evaluated together by a vectorized sweep."""
+        import numpy as np
+
+        lo, hi = bounds[:, 0], bounds[:, 1]
+        d = bounds.shape[0]
+        cand = lo + (hi - lo) * jax.random.uniform(key, (raw_samples, d))
+        vals = self.ucb(cand, beta)
+        top = cand[jnp.argsort(-vals)[:num_restarts]]
+        x_tr, y_tr, params = self.x, self.y, self.params
+
+        @jax.jit
+        def ascend(x0):
+            opt = optax.adam(5e-2)
+
+            def obj(xx):
+                mean, std = posterior(params, x_tr, y_tr, xx[None])
+                return -(mean[0] + jnp.sqrt(beta) * std[0])
+
+            def step(carry, _):
+                xx, s = carry
+                g = jax.grad(obj)(xx)
+                updates, s = opt.update(g, s, xx)
+                xx = jnp.clip(optax.apply_updates(xx, updates), lo, hi)
+                return (xx, s), None
+
+            (xx, _), _ = jax.lax.scan(step, (x0, opt.init(x0)), None,
+                                      length=ascent_steps)
+            return xx, -obj(xx)
+
+        xs, vs = jax.vmap(ascend)(top)
+        xs_np = np.asarray(xs)
+        order = np.argsort(-np.asarray(vs))
+        span = np.asarray(hi - lo)
+        picked = []
+        for i in order:
+            if all(np.linalg.norm((xs_np[i] - xs_np[j]) / span) > min_dist
+                   for j in picked):
+                picked.append(int(i))
+            if len(picked) == q:
+                break
+        # fill with fresh random candidates if diversity ran dry
+        while len(picked) < q:
+            key, k2 = jax.random.split(key)
+            extra = np.asarray(lo + (hi - lo) * jax.random.uniform(k2, (d,)))
+            xs_np = np.vstack([xs_np, extra])
+            picked.append(len(xs_np) - 1)
+        return jnp.asarray(xs_np[picked])

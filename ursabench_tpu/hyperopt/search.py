@@ -42,7 +42,14 @@ class _HypOpt:
         obj = self.obj_instance.update_statistics(samples, output_performance=True)
         t1 = time.perf_counter()
         self.time.append(t1 - t0)
-        return float(obj)
+        obj = float(obj)
+        if not np.isfinite(obj):
+            # diverged configuration (e.g. too-hot lr -> NaN weights); report
+            # -inf so argmax/GP handling can exclude it instead of poisoning
+            # the whole search (the reference propagates the NaN)
+            print(f"Non-finite objective for hyp {hyp}; treating as -inf")
+            obj = float("-inf")
+        return obj
 
     def run(self, verbose=0, return_all=0):
         raise NotImplementedError

@@ -44,3 +44,77 @@ def vectorized_random_search(
     objs = sweep.objectives(task_factory)
     i = int(np.argmax(objs))
     return hyps[i], float(objs[i]), hyps, [float(o) for o in objs]
+
+
+def batched_bayesopt_sghmc(
+    domain: Sequence[dict],
+    module,
+    train,
+    task_factory: Callable,
+    rounds: int = 5,
+    q: int = 4,
+    init_evaluations: int = 4,
+    seed: int = 123,
+    beta: float = 0.1,
+    sgld: bool = False,
+    verbose: int = 0,
+):
+    """TPU-native batched Bayesian optimization (BASELINE.md config 5):
+    each BO round proposes q diverse UCB candidates and evaluates ALL of
+    them in one vectorized SGHMCSweep — the per-round wall time is ~one
+    configuration's training run instead of q.
+
+    Returns (best_hyp, best_obj, hyp_list, obj_list).
+    """
+    from .gp import GP, init_params
+    import jax.numpy as jnp
+
+    rs = RandomSearch.__new__(RandomSearch)
+    (rs.hyp_names, rs.hyp_names_vary, rs.param_space_vary_type,
+     rs.param_space_vary, rs.bounds, rs.hyp_names_constant,
+     rs.constants) = _parse_domain(domain)
+    rs.seed = seed
+    rs.N_evaluations = init_evaluations
+    pts = rs._draw_points()
+
+    def evaluate(points):
+        hyps = [rs._mk_hyp(p) for p in points]
+        if sgld:
+            for h in hyps:
+                h["alpha"] = 1.0
+        sweep = SGHMCSweep(hyps, model=module, train=train,
+                           key=jax.random.PRNGKey(seed))
+        return hyps, sweep.objectives(task_factory)
+
+    hyp_list, obj_list = evaluate(pts)
+    train_x = np.asarray(pts, np.float64)
+    train_y = np.asarray(obj_list, np.float64)
+    bounds = jnp.asarray(rs.bounds, jnp.float32)
+    gp_params = init_params(train_x.shape[1])
+    key = jax.random.PRNGKey(seed + 1)
+
+    from .bayesopt import sanitize_targets
+
+    for r in range(rounds):
+        gp = GP(train_x, sanitize_targets(train_y), p0=gp_params)
+        gp_params = gp.params
+        key, k_acq = jax.random.split(key)
+        batch = np.asarray(gp.optimize_ucb_batch(bounds, k_acq, q, beta=beta),
+                           np.float64)
+        bad = ~np.isfinite(batch).all(axis=1)
+        if bad.any():
+            key, k_rand = jax.random.split(key)
+            lo, hi = np.asarray(rs.bounds[:, 0]), np.asarray(rs.bounds[:, 1])
+            u = np.asarray(jax.random.uniform(k_rand, (int(bad.sum()), len(lo))))
+            batch[bad] = lo + (hi - lo) * u
+            gp_params = init_params(train_x.shape[1])
+        new_hyps, new_objs = evaluate(batch)
+        hyp_list.extend(new_hyps)
+        obj_list.extend(new_objs)
+        train_x = np.vstack([train_x, batch])
+        train_y = np.append(train_y, new_objs)
+        if verbose:
+            print(f"round {r}: best so far {float(np.max(train_y)):.4f}")
+
+    i = int(np.argmax(obj_list))
+    return hyp_list[i], float(obj_list[i]), hyp_list, [float(o) for o in obj_list]

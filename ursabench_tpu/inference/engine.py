@@ -29,10 +29,13 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # global batch counter (int32)
 
 
-# (params, momentum, grads, lr, noise_on, is_first, key) -> (params, momentum)
+# (params, momentum, grads, hyp, lr=, noise_on=, is_first_step=, key=)
+#   -> (params, momentum)
 UpdateFn = Callable[..., tuple]
-# (epoch, batch_idx, global_step) -> lr scalar
-LrFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# (hyp, epoch, batch_idx, global_step) -> lr scalar.
+# `hyp` is a dict of traced f32 scalars so changing hyperparameters
+# (update_hyp / BayesOpt loops) NEVER recompiles the epoch program.
+LrFn = Callable[..., jnp.ndarray]
 
 
 def init_variables(module, key: jax.Array, spec_shape, train: bool = False):
@@ -55,10 +58,13 @@ def make_epoch_fn(
     use_augment: bool = True,
     chains: int = 1,
 ):
-    """Build ``epoch_fn(state, epoch, noise_on) -> (state, mean_loss)``:
-    one full shuffled epoch as a single jitted scan. With ``chains > 1``
-    the state carries a leading chain axis and the whole epoch program is
-    vmapped — independent MCMC chains advance in one device program."""
+    """Build ``epoch_fn(state, epoch, noise_on, hyp) -> (state, mean_loss)``:
+    one full shuffled epoch as a single jitted scan, with all continuous
+    hyperparameters flowing through the traced ``hyp`` dict (compile once
+    per sampler instance; hyperopt sweeps pay zero recompiles). With
+    ``chains > 1`` the state carries a leading chain axis and the whole
+    epoch program is vmapped — independent MCMC chains advance in one
+    device program."""
     images, labels = split.device_arrays()
     spec = split.spec
     n = split.n
@@ -78,7 +84,8 @@ def make_epoch_fn(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def epoch_impl(state: TrainState, epoch: jnp.ndarray, noise_on: jnp.ndarray):
+    def epoch_impl(state: TrainState, epoch: jnp.ndarray, noise_on: jnp.ndarray,
+                   hyp: dict):
         key, k_perm, k_aug, k_noise, k_drop = jax.random.split(state.key, 5)
         perm = jax.random.permutation(k_perm, n)
         if pad:
@@ -99,9 +106,9 @@ def make_epoch_fn(
             (loss, new_bstats), grads = grad_fn(
                 params, bstats, x, y, jax.random.fold_in(k_drop, bi)
             )
-            lr = lr_fn(epoch, bi, step)
+            lr = lr_fn(hyp, epoch, bi, step)
             params, mom = update_fn(
-                params, mom, grads,
+                params, mom, grads, hyp,
                 lr=lr, noise_on=noise_on,
                 is_first_step=(step == 0),
                 key=jax.random.fold_in(k_noise, bi),
@@ -116,7 +123,8 @@ def make_epoch_fn(
         )
         return TrainState(params, mom, bstats, key, step), losses.mean()
 
-    fn = epoch_impl if chains == 1 else jax.vmap(epoch_impl, in_axes=(0, None, None))
+    fn = (epoch_impl if chains == 1
+          else jax.vmap(epoch_impl, in_axes=(0, None, None, None)))
     return jax.jit(fn, donate_argnums=(0,))
 
 

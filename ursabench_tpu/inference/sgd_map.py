@@ -22,15 +22,39 @@ from .engine import make_epoch_fn
 from .ensemble import Ensemble
 
 
-def _sgd_update(wd: float, momentum: float):
-    def update_fn(params, mom, grads, *, lr, noise_on, is_first_step, key):
-        del noise_on, key
-        return sgd_momentum_update(
-            params, mom, grads, lr=lr, momentum=momentum, weight_decay=wd,
-            is_first_step=is_first_step,
-        )
+def _sgd_hyp_update(params, mom, grads, hyp, *, lr, noise_on, is_first_step,
+                    key):
+    del noise_on, key
+    return sgd_momentum_update(
+        params, mom, grads, lr=lr, momentum=hyp["momentum"],
+        weight_decay=hyp["weight_decay"], is_first_step=is_first_step,
+    )
 
-    return update_fn
+
+def _cosine_hyp_lr(hyp, epoch, batch_idx, step):
+    del batch_idx, step
+    import jax.numpy as jnp
+
+    return hyp["eta_min"] + (hyp["lr0"] - hyp["eta_min"]) * 0.5 * (
+        1.0 + jnp.cos(jnp.pi * epoch / hyp["t_max"])
+    )
+
+
+def _one_cycle_hyp_lr(hyp, epoch, batch_idx, step):
+    """torch OneCycleLR (cos anneal) reading traced scalars from hyp."""
+    del epoch, batch_idx
+    import jax.numpy as jnp
+
+    s = jnp.minimum(step.astype(jnp.float32), hyp["total_steps"])
+    t_up = jnp.clip(s / hyp["up_steps"], 0.0, 1.0)
+    lr_up = hyp["initial_lr"] + (hyp["max_lr"] - hyp["initial_lr"]) * 0.5 * (
+        1.0 - jnp.cos(jnp.pi * t_up)
+    )
+    t_down = jnp.clip((s - hyp["up_steps"]) / hyp["down_steps"], 0.0, 1.0)
+    lr_down = hyp["min_lr"] + (hyp["max_lr"] - hyp["min_lr"]) * 0.5 * (
+        1.0 + jnp.cos(jnp.pi * t_down)
+    )
+    return jnp.where(s <= hyp["up_steps"], lr_up, lr_down)
 
 
 def one_cycle_lr(max_lr: float, total_steps: int, pct_start: float = 0.3,
@@ -71,8 +95,6 @@ class SGD(_Inference):
         self._setup(hyperparameters, eta_min_fraction=0.01)
 
     def _setup(self, hyp, eta_min_fraction):
-        from .sgmcmc import cosine_annealing_lr
-
         self.hyperparameters = hyp
         self.lr = float(hyp["lr"])
         self.num_samples = 1  # sgd.py:36
@@ -81,13 +103,19 @@ class SGD(_Inference):
         self.weight_decay = float(hyp["weight_decay"])
         self.burnt_in = False
         self.epochs_run = 0
-        t_max = self.burn_in_epochs + self.num_samples
-        lr_fn = cosine_annealing_lr(self.lr, eta_min_fraction * self.lr, max(t_max, 1))
-        self._epoch_fn = make_epoch_fn(
-            self.module, self.train, lr_fn=lr_fn,
-            update_fn=_sgd_update(self.weight_decay, self.momentum),
-            chains=self.chains,
-        )
+        t_max = max(self.burn_in_epochs + self.num_samples, 1)
+        self._hyp_scalars = {
+            "lr0": jnp.float32(self.lr),
+            "eta_min": jnp.float32(eta_min_fraction * self.lr),
+            "t_max": jnp.float32(t_max),
+            "momentum": jnp.float32(self.momentum),
+            "weight_decay": jnp.float32(self.weight_decay),
+        }
+        if getattr(self, "_epoch_fn", None) is None:
+            self._epoch_fn = make_epoch_fn(
+                self.module, self.train, lr_fn=_cosine_hyp_lr,
+                update_fn=_sgd_hyp_update, chains=self.chains,
+            )
         from .sgmcmc import SGHMC
 
         self._state = SGHMC._init_state(self)
@@ -103,7 +131,7 @@ class SGD(_Inference):
         for _ in range(epochs):
             self._state, _ = self._epoch_fn(
                 self._state, jnp.asarray(self.epochs_run, jnp.float32),
-                jnp.asarray(0.0),
+                jnp.asarray(0.0), self._hyp_scalars,
             )
             self.epochs_run += 1
         return SGHMC._harvest(self)
@@ -182,13 +210,27 @@ class MCdropout(_Inference):
             )
         self.burnt_in = False
         self.epochs_run = 0
-        total_steps = (self.burn_in_epochs + self.num_samples) * self.train.num_batches
-        lr_fn = one_cycle_lr(self.lr * 5, max(total_steps, 2))
-        self._epoch_fn = make_epoch_fn(
-            self.module, self.train, lr_fn=lr_fn,
-            update_fn=_sgd_update(self.weight_decay, self.momentum),
-            chains=self.chains,
+        total_steps = max(
+            (self.burn_in_epochs + self.num_samples) * self.train.num_batches, 2
         )
+        max_lr = self.lr * 5
+        initial_lr = max_lr / 25.0
+        up_steps = float(max(1, int(0.3 * total_steps) - 1))
+        self._hyp_scalars = {
+            "max_lr": jnp.float32(max_lr),
+            "initial_lr": jnp.float32(initial_lr),
+            "min_lr": jnp.float32(initial_lr / 1e4),
+            "total_steps": jnp.float32(total_steps),
+            "up_steps": jnp.float32(up_steps),
+            "down_steps": jnp.float32(max(1.0, (total_steps - 1) - up_steps)),
+            "momentum": jnp.float32(self.momentum),
+            "weight_decay": jnp.float32(self.weight_decay),
+        }
+        if getattr(self, "_epoch_fn", None) is None:
+            self._epoch_fn = make_epoch_fn(
+                self.module, self.train, lr_fn=_one_cycle_hyp_lr,
+                update_fn=_sgd_hyp_update, chains=self.chains,
+            )
         from .sgmcmc import SGHMC
 
         self._state = SGHMC._init_state(self)
@@ -204,7 +246,7 @@ class MCdropout(_Inference):
         for _ in range(epochs):
             self._state, _ = self._epoch_fn(
                 self._state, jnp.asarray(self.epochs_run, jnp.float32),
-                jnp.asarray(0.0),
+                jnp.asarray(0.0), self._hyp_scalars,
             )
             self.epochs_run += 1
         return SGHMC._harvest(self)

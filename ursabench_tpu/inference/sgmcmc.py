@@ -13,12 +13,13 @@ Parity targets:
   schedule: csghmc.py:64-72, :89-93, :106-111. cSGLD = alpha 1: csgld.py:21-29.
 
 Each draw is a whole compiled epoch (lax.scan over batches); multiple chains
-advance under one vmap.
+advance under one vmap. All continuous hyperparameters flow through the
+traced ``hyp`` dict, so ``update_hyp`` (and therefore every hyperopt
+iteration) reuses the compiled epoch program — zero recompiles per sweep.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -32,7 +33,8 @@ from .ensemble import Ensemble
 
 
 def cosine_annealing_lr(lr0: float, eta_min: float, t_max: int):
-    """torch CosineAnnealingLR closed form for monotone epoch stepping."""
+    """torch CosineAnnealingLR closed form for monotone epoch stepping
+    (non-traced variant, used by schedule tests)."""
 
     def lr_fn(epoch, batch_idx, step):
         del batch_idx, step
@@ -41,6 +43,32 @@ def cosine_annealing_lr(lr0: float, eta_min: float, t_max: int):
         )
 
     return lr_fn
+
+
+def _cosine_hyp_lr(hyp, epoch, batch_idx, step):
+    """Cosine annealing reading (lr0, eta_min, t_max) from traced hyp."""
+    del batch_idx, step
+    return hyp["eta_min"] + (hyp["lr0"] - hyp["eta_min"]) * 0.5 * (
+        1.0 + jnp.cos(jnp.pi * epoch / hyp["t_max"])
+    )
+
+
+def _cyclic_hyp_lr(hyp, epoch, batch_idx, step):
+    """cSGHMC per-batch cyclic cosine (csghmc.py:64-72) reading
+    (lr0, num_batch, cycle_iters) from traced hyp."""
+    del step
+    rcounter = epoch * hyp["num_batch"] + batch_idx
+    cos_inner = jnp.pi * (rcounter % hyp["cycle_iters"]) / hyp["cycle_iters"]
+    return 0.5 * (jnp.cos(cos_inner) + 1.0) * hyp["lr0"]
+
+
+def _sghmc_hyp_update(params, mom, grads, hyp, *, lr, noise_on, is_first_step,
+                      key):
+    return sghmc_update(
+        params, mom, grads, lr=lr, momentum=hyp["momentum"],
+        wd_over_n=hyp["wd_over_n"], n_train=hyp["n_train"],
+        noise_on=noise_on, is_first_step=is_first_step, key=key,
+    )
 
 
 class SGHMC(_Inference):
@@ -59,6 +87,7 @@ class SGHMC(_Inference):
                          mesh)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
+        self._epoch_fn = None
         self._setup(hyperparameters, eta_min_fraction=self._ETA_MIN_FRACTION_INIT)
 
     # -- configuration ---------------------------------------------------------
@@ -79,18 +108,20 @@ class SGHMC(_Inference):
         self.burnt_in = False
         self.epochs_run = 0
 
-        t_max = self.burn_in_epochs + self.num_samples
-        lr_fn = cosine_annealing_lr(self.lr, eta_min_fraction * self.lr, max(t_max, 1))
-        update_fn = partial(
-            sghmc_update,
-            momentum=self.momentum,
-            wd_over_n=self.wd / self.n_train,
-            n_train=float(self.n_train),
-        )
-        self._epoch_fn = make_epoch_fn(
-            self.module, self.train, lr_fn=lr_fn, update_fn=update_fn,
-            chains=self.chains,
-        )
+        t_max = max(self.burn_in_epochs + self.num_samples, 1)
+        self._hyp_scalars = {
+            "lr0": jnp.float32(self.lr),
+            "eta_min": jnp.float32(eta_min_fraction * self.lr),
+            "t_max": jnp.float32(t_max),
+            "momentum": jnp.float32(self.momentum),
+            "wd_over_n": jnp.float32(self.wd / self.n_train),
+            "n_train": jnp.float32(self.n_train),
+        }
+        if self._epoch_fn is None:
+            self._epoch_fn = make_epoch_fn(
+                self.module, self.train, lr_fn=_cosine_hyp_lr,
+                update_fn=_sghmc_hyp_update, chains=self.chains,
+            )
         self._state = self._init_state()
 
     def _init_state(self) -> TrainState:
@@ -113,7 +144,7 @@ class SGHMC(_Inference):
 
     def update_hyp(self, hyperparameters: dict):
         """Reset weights + optimizer state and adopt new hypers
-        (sghmc.py:50-63)."""
+        (sghmc.py:50-63). Reuses the compiled epoch program."""
         self._setup(hyperparameters, eta_min_fraction=self._ETA_MIN_FRACTION_UPDATE)
 
     # -- sampling ----------------------------------------------------------------
@@ -123,6 +154,7 @@ class SGHMC(_Inference):
             self._state,
             jnp.asarray(self.epochs_run, jnp.float32),
             jnp.asarray(1.0 if noise_on else 0.0, jnp.float32),
+            self._hyp_scalars,
         )
         self.epochs_run += 1
         return loss
@@ -197,6 +229,7 @@ class cSGHMC(_Inference):
                          mesh)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
+        self._epoch_fn = None
         self._setup(hyperparameters)
 
     def _setup(self, hyp: dict):
@@ -223,23 +256,19 @@ class cSGHMC(_Inference):
         total_epochs = self.cycle_length * self.num_cycles
         total_iterations = total_epochs * num_batch
         cycle_iters = total_iterations // self.num_cycles
-
-        def lr_fn(epoch, batch_idx, step):
-            del step
-            rcounter = epoch * num_batch + batch_idx
-            cos_inner = jnp.pi * (rcounter % cycle_iters) / cycle_iters
-            return 0.5 * (jnp.cos(cos_inner) + 1.0) * self.lr_0
-
-        update_fn = partial(
-            sghmc_update,
-            momentum=self.momentum,
-            wd_over_n=self.wd / self.n_train,
-            n_train=float(self.n_train),
-        )
-        self._epoch_fn = make_epoch_fn(
-            self.module, self.train, lr_fn=lr_fn, update_fn=update_fn,
-            chains=self.chains,
-        )
+        self._hyp_scalars = {
+            "lr0": jnp.float32(self.lr_0),
+            "num_batch": jnp.float32(num_batch),
+            "cycle_iters": jnp.float32(cycle_iters),
+            "momentum": jnp.float32(self.momentum),
+            "wd_over_n": jnp.float32(self.wd / self.n_train),
+            "n_train": jnp.float32(self.n_train),
+        }
+        if self._epoch_fn is None:
+            self._epoch_fn = make_epoch_fn(
+                self.module, self.train, lr_fn=_cyclic_hyp_lr,
+                update_fn=_sghmc_hyp_update, chains=self.chains,
+            )
         self._state = SGHMC._init_state(self)
 
     def update_hyp(self, hyperparameters: dict):
@@ -264,6 +293,7 @@ class cSGHMC(_Inference):
                 self._state,
                 jnp.asarray(self.epochs_run, jnp.float32),
                 jnp.asarray(1.0 if noise else 0.0, jnp.float32),
+                self._hyp_scalars,
             )
             self.epochs_run += 1
             if debug_val_loss and val_loader is not None:

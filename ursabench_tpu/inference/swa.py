@@ -22,15 +22,25 @@ from .ensemble import Ensemble
 from .subspaces import Subspace
 
 
-def _sgd_update(wd: float, momentum: float):
-    def update_fn(params, mom, grads, *, lr, noise_on, is_first_step, key):
-        del noise_on, key
-        return sgd_momentum_update(
-            params, mom, grads, lr=lr, momentum=momentum, weight_decay=wd,
-            is_first_step=is_first_step,
-        )
+def _sgd_hyp_update(params, mom, grads, hyp, *, lr, noise_on, is_first_step,
+                    key):
+    del noise_on, key
+    return sgd_momentum_update(
+        params, mom, grads, lr=lr, momentum=hyp["momentum"],
+        weight_decay=hyp["weight_decay"], is_first_step=is_first_step,
+    )
 
-    return update_fn
+
+def _swa_schedule_hyp_lr(hyp, epoch, batch_idx, step):
+    """_schedule (swa.py:92-101): constant, linear decay, then swag_lr."""
+    del batch_idx, step
+    t = epoch / hyp["burn_in_epochs"]
+    lr_ratio = hyp["swag_lr"] / hyp["lr_init"]
+    factor = jnp.where(
+        t <= 0.5, 1.0,
+        jnp.where(t <= 0.9, 1.0 - (1.0 - lr_ratio) * (t - 0.5) / 0.4, lr_ratio),
+    )
+    return hyp["lr_init"] * factor
 
 
 class SWA(_Inference):
@@ -75,23 +85,19 @@ class SWA(_Inference):
         )
         self.cov_factor = None
 
-        # _schedule (swa.py:92-101), computed per epoch
-        def lr_fn(epoch, batch_idx, step):
-            del batch_idx, step
-            t = epoch / self.burn_in_epochs
-            lr_ratio = self.swag_lr / self.lr_init
-            factor = jnp.where(
-                t <= 0.5, 1.0,
-                jnp.where(t <= 0.9, 1.0 - (1.0 - lr_ratio) * (t - 0.5) / 0.4,
-                          lr_ratio),
+        self._hyp_scalars = {
+            "lr_init": jnp.float32(self.lr_init),
+            "swag_lr": jnp.float32(self.swag_lr),
+            "burn_in_epochs": jnp.float32(max(self.burn_in_epochs, 1)),
+            "momentum": jnp.float32(self.momentum),
+            "weight_decay": jnp.float32(self.swag_wd),
+        }
+        if getattr(self, "_epoch_fn", None) is None:
+            self._epoch_fn = make_epoch_fn(
+                self.module, self.train, lr_fn=_swa_schedule_hyp_lr,
+                update_fn=_sgd_hyp_update,
             )
-            return self.lr_init * factor
-
-        self._epoch_fn = make_epoch_fn(
-            self.module, self.train, lr_fn=lr_fn,
-            update_fn=_sgd_update(self.swag_wd, self.momentum),
-        )
-        self._bn_refresh = make_bn_refresh_fn(self.module, self.train)
+            self._bn_refresh = make_bn_refresh_fn(self.module, self.train)
         self._state = TrainState(
             params=params,
             momentum=jax.tree.map(jnp.zeros_like, params),
@@ -139,7 +145,7 @@ class SWA(_Inference):
         for _ in range(epochs):
             self._state, _ = self._epoch_fn(
                 self._state, jnp.asarray(self.epochs_run, jnp.float32),
-                jnp.asarray(0.0),
+                jnp.asarray(0.0), self._hyp_scalars,
             )
             self.epochs_run += 1
 
