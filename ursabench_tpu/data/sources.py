@@ -12,6 +12,7 @@ models genuinely learn and every downstream metric is exercised.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import os
 import pickle
 import struct
@@ -168,7 +169,9 @@ def synthetic(
     size, ch, k, n_train, n_test = DATASET_PROFILES[name]
     if n is None:
         n = n_train if train else n_test
-    root_seed = abs(hash((name, "ursabench-synth", seed))) % (2 ** 31)
+    # stable across processes (builtin hash() is salted per interpreter)
+    digest = hashlib.sha256(f"{name}/ursabench-synth/{seed}".encode()).digest()
+    root_seed = int.from_bytes(digest[:4], "little") % (2 ** 31)
     rng = np.random.Generator(np.random.Philox(root_seed))
     templates = rng.uniform(40, 215, size=(k, size, size, ch))
     split_rng = np.random.Generator(
