@@ -150,22 +150,34 @@ def make_bn_refresh_fn(module, split: DataSplit):
             idx = jnp.concatenate([idx, idx[:pad]])
         batches = idx.reshape(nb, bsz)
 
-        # flax BatchNorm computes fresh = m*old + (1-m)*batch with its own
-        # static momentum; recover the pure batch statistic first.
-        flax_m = 0.9
-
-        def body_exact(carry, b_idx):
-            stats, count = carry
-            x = normalize(jnp.take(images, b_idx, axis=0), spec)
-            b = float(bsz)
+        def train_apply(stats, x):
             _, mutated = module.apply(
                 {"params": params, "batch_stats": stats},
                 x, train=True, mutable=["batch_stats"],
                 rngs={"dropout": jax.random.PRNGKey(0)},
             )
+            return mutated["batch_stats"]
+
+        # flax BatchNorm writes fresh = m*old + (1-m)*batch with a static,
+        # possibly per-layer momentum (e.g. the WRN head uses 0.1 where the
+        # rest use 0.9). In train mode the batch statistic is independent of
+        # the old running stats, so two probe applies with old=0 and old=1
+        # recover m per leaf exactly: m = f(old=1) - f(old=0).
+        x0 = normalize(jnp.take(images, batches[0], axis=0), spec)
+        zeros = jax.tree.map(jnp.zeros_like, batch_stats)
+        ones = jax.tree.map(jnp.ones_like, batch_stats)
+        f0 = train_apply(zeros, x0)
+        f1 = train_apply(ones, x0)
+        momentum = jax.tree.map(lambda a, b: b - a, f0, f1)
+
+        def body_exact(carry, b_idx):
+            stats, count = carry
+            x = normalize(jnp.take(images, b_idx, axis=0), spec)
+            b = float(bsz)
+            fresh = train_apply(stats, x)
             batch_stat = jax.tree.map(
-                lambda f, o: (f - flax_m * o) / (1.0 - flax_m),
-                mutated["batch_stats"], stats,
+                lambda f, o, m: (f - m * o) / (1.0 - m),
+                fresh, stats, momentum,
             )
             w_old = count / (count + b)
             stats = jax.tree.map(
