@@ -62,6 +62,24 @@ def _load_hyp(args):
     return None
 
 
+def _load_pretrained(sampler, pretrained):
+    """Warm-start a TrainState-based sampler from checkpointed variables
+    (the reference's --pretrained_model_path state-dict load,
+    experiment.py:72-73)."""
+    if pretrained is None:
+        return
+    if not hasattr(sampler, "_state"):
+        raise NotImplementedError(
+            f"--pretrained_model_path is not supported for "
+            f"{type(sampler).__name__}"
+        )
+    st = sampler._state
+    replaced = st._replace(params=pretrained["params"])
+    if pretrained.get("batch_stats"):
+        replaced = replaced._replace(batch_stats=pretrained["batch_stats"])
+    sampler._state = replaced
+
+
 def _make_sampler(args, hyp, module, train_split, seed):
     method = inference.get_inference(args.inference_method)
     return method(
@@ -116,8 +134,7 @@ def main(argv=None):
     # ---- validation mode: one CSV row for the sweep (experiment.py:88-108)
     if args.task == "Prediction" and args.use_val:
         sampler = _make_sampler(args, hyperparams, module, train_split, args.seed)
-        if pretrained is not None:
-            sampler._state = sampler._state._replace(params=pretrained["params"])
+        _load_pretrained(sampler, pretrained)
         ensemble = sampler.sample()
         task = tasks.Prediction(task_loader, num_classes, metric_list=metric_list)
         task.update_statistics(ensemble, output_performance=False, smoothing=True)

@@ -108,16 +108,21 @@ class HMC(_Inference):
             # momentum ~ N(0, M) with M = mass * I; kinetic = 0.5 p^T M^-1 p
             p0 = jax.random.normal(k_mom, theta.shape) * jnp.sqrt(self.mass)
 
-            def leapfrog(c, _):
-                th, p = c
-                p = p - 0.5 * eps * grad_u(th)
-                th = th + eps * inv_mass * p
-                p = p - 0.5 * eps * grad_u(th)
-                return (th, p), None
+            # standard half-step leapfrog: one gradient per step (the naive
+            # two-half-steps-per-step form costs 2x the full-data grads)
+            p_half = p0 - 0.5 * eps * grad_u(theta)
 
-            (theta_new, p_new), _ = jax.lax.scan(
-                leapfrog, (theta, p0), None, length=L
+            def leapfrog(c, _):
+                th, p, _ = c
+                th = th + eps * inv_mass * p
+                g = grad_u(th)
+                return (th, p - eps * g, g), None
+
+            (theta_new, p_over, g_last), _ = jax.lax.scan(
+                leapfrog, (theta, p_half, jnp.zeros_like(theta)), None, length=L
             )
+            # the scan subtracted a full eps*g on the last step; roll back half
+            p_new = p_over + 0.5 * eps * g_last
             u_new = neg_log_post(theta_new)
             h_cur = u_cur + 0.5 * inv_mass * jnp.sum(p0 ** 2)
             h_new = u_new + 0.5 * inv_mass * jnp.sum(p_new ** 2)
