@@ -143,3 +143,44 @@ def test_prediction_latency_mode_and_profile():
     out = profile_prediction(cfg, splits, C)
     assert out["latency_mean_s"] > 0
     assert "error_rate" in out["metrics"]
+
+
+def test_experiment_imbalanced_decision(tmp_path):
+    from ursabench_tpu.experiment import main
+
+    results = main([
+        "--dataset", "MNIST", "--model", "MLP200MNIST",
+        "--inference_method", "SGLD", "--num_trials", "1",
+        "--batch_size", "32", "--use_dm_imbalance",
+        "--save_path", str(tmp_path / "imb"),
+        "--hyperparams",
+        json.dumps({"lr": 0.03, "prior_std": 1.0, "num_samples": 2,
+                    "burn_in_epochs": 1}),
+        "--synthetic_n_train", "512", "--synthetic_n_test", "64",
+    ])
+    assert "cost_mean" in results
+
+
+def test_experiment_pretrained_model_path(tmp_path):
+    import jax
+
+    from ursabench_tpu import data, models
+    from ursabench_tpu.experiment import main
+    from ursabench_tpu.inference.engine import init_variables
+    from ursabench_tpu.utils_checkpoint import save_variables
+
+    module = models.get_model("MLP200MNIST").build(10)
+    variables = init_variables(module, jax.random.PRNGKey(7), (28, 28, 1))
+    ckpt = str(tmp_path / "pretrained.npz")
+    save_variables(ckpt, variables)
+
+    perf = main([
+        "--dataset", "MNIST", "--model", "MLP200MNIST",
+        "--inference_method", "SGLD", "--task", "Prediction", "--use_val",
+        "--batch_size", "32", "--pretrained_model_path", ckpt,
+        "--hyperparams",
+        json.dumps({"lr": 0.01, "prior_std": 1.0, "num_samples": 1,
+                    "burn_in_epochs": 0}),
+        "--synthetic_n_train", "96", "--synthetic_n_test", "32",
+    ])
+    assert "error_rate" in perf
