@@ -61,7 +61,10 @@ class HMC(_Inference):
         images, labels = self.train.device_arrays()
         spec = self.train.spec
         n = self.train.n
-        bsz = self.train.batch_size
+        # the full-batch potential doesn't need the loader's minibatch size;
+        # scan in large chunks to amortize per-step overhead ('grad_batch'
+        # hyper overrides, default 4096)
+        bsz = min(n, int(self.hyperparameters.get("grad_batch", 4096)))
         nb = -(-n // bsz)
         pad = nb * bsz - n
         module = self.module
