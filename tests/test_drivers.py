@@ -184,3 +184,40 @@ def test_experiment_pretrained_model_path(tmp_path):
         "--synthetic_n_train", "96", "--synthetic_n_test", "32",
     ])
     assert "error_rate" in perf
+
+
+def test_engine_export_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from ursabench_tpu import models
+    from ursabench_tpu.inference.engine import init_variables
+    from ursabench_tpu.profiling.export import (
+        export_bma_engine, load_engine, save_engine,
+    )
+    from ursabench_tpu.util import tree_stack
+
+    module = models.get_model("MLP200MNIST").build(10)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    variables = [init_variables(module, k, (28, 28, 1)) for k in keys]
+    params = tree_stack([v["params"] for v in variables])
+
+    blob = export_bma_engine(module, params, None, 4, (28, 28, 1))
+    path = str(tmp_path / "mlp.bma.stablehlo")
+    save_engine(path, blob)
+    engine = load_engine(path)
+    x = jnp.ones((4, 28, 28, 1), jnp.float32)
+    probs = engine(x)
+    assert probs.shape == (4, 10)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+    # must match the live forward
+    def live(x):
+        logits = jax.vmap(
+            lambda p: module.apply({"params": p}, x, train=False)
+        )(params)
+        return np.asarray(
+            jnp.exp(jax.nn.log_softmax(logits, -1)).mean(0)
+        )
+
+    np.testing.assert_allclose(np.asarray(probs), live(x), rtol=1e-5, atol=1e-6)
