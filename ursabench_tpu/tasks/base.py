@@ -31,7 +31,9 @@ class _Task:
 
 
 def accumulate_split(ensemble: Ensemble, split, smooth_probs: bool):
-    """One pass over a DataSplit with all ensemble members vmapped.
+    """One pass over a DataSplit with all ensemble members vmapped — the
+    ENTIRE split as a single jitted scan (one device program, one host
+    transfer), replacing the reference's per-batch per-member Python loop.
 
     Returns (sum of per-member probs, sum of per-member entropies) as numpy,
     matching the accumulators of prediction.py:24-25 / ood_detection.py:18-21.
@@ -39,13 +41,73 @@ def accumulate_split(ensemble: Ensemble, split, smooth_probs: bool):
     centrally smoothed (OOD/Decision do: ood_detection.py:62-65; Prediction
     does not: prediction.py:60 — only the entropy input is smoothed there).
     """
-    proba_chunks = []
-    ent_chunks = []
-    for bi, (x, _) in enumerate(split.batches()):
-        logits = ensemble.logits_all(x, bi)  # (S, B, C)
-        probs = softmax_probs(logits)
-        smoothed = central_smoothing(probs)
-        acc_probs = smoothed if smooth_probs else probs
-        proba_chunks.append(np.asarray(jnp.sum(acc_probs, axis=0)))
-        ent_chunks.append(np.asarray(jnp.sum(predictive_entropy(smoothed), axis=0)))
-    return np.concatenate(proba_chunks), np.concatenate(ent_chunks)
+    import jax
+
+    from ..data.transforms import normalize
+
+    key = ("accumulate", id(split), bool(smooth_probs))
+    if key not in ensemble._jit_cache:
+        images, _ = split.device_arrays()
+        spec = split.spec
+        n = split.n
+        bsz = split.batch_size
+        nb = -(-n // bsz)
+        pad = nb * bsz - n
+        module = ensemble.module
+        bs_axes = None if ensemble.batch_stats is None else 0
+        key_axes = None if ensemble.dropout_keys is None else 0
+
+        def run(params, batch_stats, keys):
+            idx = jnp.arange(n)
+            if pad:
+                idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+            batches = idx.reshape(nb, bsz)
+
+            def member_logits(p, b, k, x, bi):
+                variables = {"params": p}
+                if b is not None:
+                    variables["batch_stats"] = b
+                rngs = None
+                if k is not None:
+                    rngs = {"dropout": jax.random.fold_in(k, bi)}
+                return module.apply(variables, x, train=False, rngs=rngs)
+
+            def body(carry, inp):
+                acc_p, acc_e = carry
+                bi, b_idx = inp
+                x = normalize(jnp.take(images, b_idx, axis=0), spec)
+                logits = jax.vmap(
+                    lambda p, b, k: member_logits(p, b, k, x, bi),
+                    in_axes=(0, bs_axes, key_axes),
+                )(params, batch_stats, keys)
+                probs = softmax_probs(logits)
+                smoothed = central_smoothing(probs)
+                p_sum = jnp.sum(smoothed if smooth_probs else probs, axis=0)
+                e_sum = jnp.sum(predictive_entropy(smoothed), axis=0)
+                acc_p = jax.lax.dynamic_update_slice(acc_p, p_sum, (bi * bsz, 0))
+                acc_e = jax.lax.dynamic_update_slice(acc_e, e_sum, (bi * bsz,))
+                return (acc_p, acc_e), None
+
+            num_classes = jax.eval_shape(
+                lambda p, b, k: member_logits(
+                    p, b, k, jnp.zeros((1,) + spec.shape, jnp.float32), 0
+                ),
+                jax.tree.map(lambda a: a[0], params),
+                None if batch_stats is None
+                else jax.tree.map(lambda a: a[0], batch_stats),
+                None if keys is None else keys[0],
+            ).shape[-1]
+            acc0 = (
+                jnp.zeros((nb * bsz, num_classes)),
+                jnp.zeros((nb * bsz,)),
+            )
+            (acc_p, acc_e), _ = jax.lax.scan(
+                body, acc0, (jnp.arange(nb), batches)
+            )
+            return acc_p[:n], acc_e[:n]
+
+        ensemble._jit_cache[key] = jax.jit(run)
+    acc_p, acc_e = ensemble._jit_cache[key](
+        ensemble.params, ensemble.batch_stats, ensemble.dropout_keys
+    )
+    return np.asarray(acc_p), np.asarray(acc_e)
