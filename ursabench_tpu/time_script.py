@@ -82,6 +82,10 @@ def main(argv=None):
     p.add_argument("--methods", type=str, nargs="*", default=DEFAULT_METHODS)
     p.add_argument("--S", type=int, default=3)
     p.add_argument("--T", type=int, default=10)
+    p.add_argument("--warmup_trials", type=int, default=0,
+                   help="untimed trials per method first (excludes XLA "
+                        "compilation from the timing; the reference protocol "
+                        "has no warmup, default 0 for parity)")
     p.add_argument("--synthetic_n_train", type=int, default=None)
     p.add_argument("--synthetic_n_test", type=int, default=None)
     args = p.parse_args(argv)
@@ -109,7 +113,7 @@ def main(argv=None):
         cls = inference.get_inference(method)
         model_name = args.model
         times = np.zeros(args.T)
-        for t in range(args.T):
+        for t in range(-args.warmup_trials, args.T):
             print("Trial:", t)
             if method == "MCdropout":
                 module = models.dropout_twin(model_name).build(num_classes)
@@ -119,7 +123,8 @@ def main(argv=None):
                           key=jax.random.PRNGKey(args.seed + t))
             t0 = time.perf_counter()
             sampler.sample()
-            times[t] = time.perf_counter() - t0
+            if t >= 0:
+                times[t] = time.perf_counter() - t0
         timer[method + "_mean"] = float(times.mean())
         timer[method + "_std"] = float(times.std(ddof=1)) if args.T > 1 else 0.0
         print("Time:", times.mean(), "+-", timer[method + "_std"])
