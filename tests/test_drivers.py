@@ -221,3 +221,34 @@ def test_engine_export_roundtrip(tmp_path):
         )
 
     np.testing.assert_allclose(np.asarray(probs), live(x), rtol=1e-5, atol=1e-6)
+
+
+def test_auto_checkpoint_resume(tmp_path):
+    import jax
+
+    from ursabench_tpu import data, inference, models
+
+    splits, C = data.loaders("MNIST", None, batch_size=32, use_validation=False,
+                             synthetic_n_train=96, synthetic_n_test=32)
+    module = models.get_model("MLP200MNIST").build(C)
+    hyp = {"lr": 0.03, "prior_std": 1.0, "num_samples": 3, "burn_in_epochs": 1}
+    ckpt = str(tmp_path / "chain.npz")
+
+    s1 = inference.SGLD(hyp, model=module, train=splits["train"],
+                        key=jax.random.PRNGKey(0))
+    assert not s1.enable_auto_checkpoint(ckpt, every_epochs=1)
+    s1.sample_iterative()  # 2 epochs (burn+1), checkpoints each
+    epochs_done = s1.epochs_run
+
+    # "crash" and resume in a fresh sampler
+    s2 = inference.SGLD(hyp, model=module, train=splits["train"],
+                        key=jax.random.PRNGKey(99))
+    assert s2.enable_auto_checkpoint(ckpt, every_epochs=1)
+    assert s2.epochs_run == epochs_done and s2.burnt_in
+    import numpy as _np
+
+    a = _np.asarray(jax.tree.leaves(s1._state.params)[0])
+    b = _np.asarray(jax.tree.leaves(s2._state.params)[0])
+    _np.testing.assert_allclose(a, b)
+    s2.sample_iterative()  # continues the chain
+    assert s2.epochs_run == epochs_done + 1

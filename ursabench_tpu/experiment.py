@@ -49,6 +49,10 @@ def build_parser():
     p.add_argument("--device_num", type=int, default=0)  # parity; XLA places
     p.add_argument("--pretrained_model_path", type=str, default=None)
     p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--checkpoint_path", type=str, default=None,
+                   help="auto-checkpoint the sampler chain here and resume "
+                        "from it if present")
+    p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--synthetic_n_train", type=int, default=None)
     p.add_argument("--synthetic_n_test", type=int, default=None)
     return p
@@ -82,10 +86,17 @@ def _load_pretrained(sampler, pretrained):
 
 def _make_sampler(args, hyp, module, train_split, seed):
     method = inference.get_inference(args.inference_method)
-    return method(
+    sampler = method(
         hyperparameters=hyp, model=module, train=train_split,
         key=jax.random.PRNGKey(seed), chains=args.chains,
     )
+    if args.checkpoint_path:
+        resumed = sampler.enable_auto_checkpoint(
+            f"{args.checkpoint_path}.seed{seed}.npz", args.checkpoint_every
+        )
+        if resumed:
+            print(f"resumed chain at epoch {sampler.epochs_run}")
+    return sampler
 
 
 def _load_ood(args, cfg):

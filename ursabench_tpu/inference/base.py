@@ -73,6 +73,35 @@ class _Inference:
         key = key if key is not None else self.next_key()
         return init_variables(self.module, key, self.train.spec.shape)
 
+    # -- elastic checkpointing -------------------------------------------------
+
+    def enable_auto_checkpoint(self, path: str, every_epochs: int = 10,
+                               resume: bool = True) -> bool:
+        """Persist the chain state every N epochs; on construction with
+        ``resume=True`` an existing checkpoint is restored so interrupted
+        runs continue mid-chain (the elasticity upgrade over the
+        reference's model-level loading, SURVEY.md §5). Returns True if a
+        checkpoint was restored."""
+        import os
+
+        from ..utils_checkpoint import restore_sampler_state
+
+        self._ckpt_path = path
+        self._ckpt_every = max(1, int(every_epochs))
+        if resume and os.path.exists(path):
+            restore_sampler_state(path, self)
+            return True
+        return False
+
+    def _maybe_checkpoint(self):
+        path = getattr(self, "_ckpt_path", None)
+        if path is None:
+            return
+        if self.epochs_run % self._ckpt_every == 0:
+            from ..utils_checkpoint import save_sampler_state
+
+            save_sampler_state(path, self)
+
     def compute_val_loss(self, val_split: DataSplit, params, batch_stats) -> float:
         cache_key = id(val_split)
         if cache_key not in self._val_loss_cache:

@@ -157,6 +157,7 @@ class SGHMC(_Inference):
             self._hyp_scalars,
         )
         self.epochs_run += 1
+        self._maybe_checkpoint()
         return loss
 
     def _harvest(self):
@@ -296,6 +297,7 @@ class cSGHMC(_Inference):
                 self._hyp_scalars,
             )
             self.epochs_run += 1
+            self._maybe_checkpoint()
             if debug_val_loss and val_loader is not None:
                 print({
                     "train_loss": float(jnp.mean(loss)),
