@@ -101,3 +101,39 @@ def test_distilled_tasks(small_ensemble):
     )
     mo = ood.update_statistics(pair, output_performance=True)
     assert 0.0 <= mo["model_uncertainty_auroc"] <= 1.0
+
+
+def test_distillation_end_to_end(small_ensemble):
+    import flax.linen as nn
+    import jax
+
+    from ursabench_tpu.inference import distill_ensemble
+
+    splits, C, module, ens = small_ensemble
+
+    class EntropyHead(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = x.reshape((x.shape[0], -1))
+            return nn.Dense(1)(nn.tanh(nn.Dense(32)(x)))
+
+    # distill onto a fresh copy of the same architecture + a small head
+    splits_tr = splits["train"]
+    pair = distill_ensemble(
+        ens, splits_tr, module, EntropyHead(), epochs=15, lr=2e-3,
+        key=jax.random.PRNGKey(0),
+    )
+    pred = tasks.PredictionDistilled(
+        {"in_distribution_test": splits["test"]}, C,
+        metric_list=["error_rate", "nll"],
+    )
+    pred.update_statistics(pair, output_performance=False)
+    m = pred.get_performance_metrics()
+    # the distilled predictor should roughly track the ensemble (both learn
+    # the separable synthetic data)
+    full = tasks.Prediction(
+        {"in_distribution_test": splits["test"]}, C, metric_list=["error_rate"]
+    )
+    full.update_statistics(ens, output_performance=False)
+    ens_err = full.get_performance_metrics()["error_rate"]
+    assert m["error_rate"] <= ens_err + 0.2

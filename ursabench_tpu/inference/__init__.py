@@ -6,6 +6,7 @@ inference/__init__.py:1-11 there).
 """
 
 from .base import _Inference
+from .distill import distill_ensemble
 from .ensemble import Ensemble
 from .hmc import HMC
 from .pca_subspace import PCASubspaceSampler
@@ -18,7 +19,7 @@ from .swag import SWAG
 __all__ = [
     "_Inference", "Ensemble", "SGHMC", "SGLD", "cSGHMC", "cSGLD",
     "SGD", "DeepEnsemble", "MCdropout", "SWA", "SWAG", "PCASubspaceSampler",
-    "HMC", "Subspace", "SubspaceModel",
+    "HMC", "Subspace", "SubspaceModel", "distill_ensemble",
 ]
 
 
