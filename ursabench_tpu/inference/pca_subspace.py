@@ -91,7 +91,6 @@ class PCASubspaceSampler(_Inference):
             idx = jnp.concatenate([idx, jnp.full((pad,), -1)])
         batches = idx.reshape(nb, bsz)
 
-        @jax.jit
         def lnpdf(theta):
             w = mean + cov_factor.T @ theta
             params = unravel(w)
@@ -116,7 +115,15 @@ class PCASubspaceSampler(_Inference):
             total, _ = jax.lax.scan(body, 0.0, batches)
             return -total / temperature
 
-        return lnpdf
+        # jit the WHOLE ESS transition (bracket while_loop + every full-data
+        # log-density evaluation) once — calling elliptical_slice with a
+        # merely-jitted lnpdf re-traces the loop on every draw
+        transition = jax.jit(
+            lambda key, theta, prior, cur: elliptical_slice(
+                key, theta, prior, lnpdf, cur_lnpdf=cur
+            )
+        )
+        return jax.jit(lnpdf), transition
 
     # -- sampling ---------------------------------------------------------------
 
@@ -125,16 +132,17 @@ class PCASubspaceSampler(_Inference):
             self.swa.sample()  # phase 1 (pca_subspace.py:111-113)
             mean, _, cov_factor = self.swa.get_space()
             self.subspace = SubspaceModel(mean, cov_factor)
-            self._lnpdf_jit = self._build_lnpdf()
+            self._lnpdf_jit, self._ess_transition = self._build_lnpdf()
             self.current_theta = jnp.zeros(self.rank)
             self.subspace_constructed = True
         k_prior, k_ess = jax.random.split(self.next_key())
         actual_rank = self.subspace.rank
         prior_sample = self.prior_std * jax.random.normal(k_prior, (actual_rank,))
         theta = self.current_theta[:actual_rank]
-        theta, lnp = elliptical_slice(
-            k_ess, theta, prior_sample, self._lnpdf_jit,
-            cur_lnpdf=self.current_lnpdf,
+        if self.current_lnpdf is None:
+            self.current_lnpdf = self._lnpdf_jit(theta)
+        theta, lnp = self._ess_transition(
+            k_ess, theta, prior_sample, self.current_lnpdf
         )
         self.current_theta = theta
         self.current_lnpdf = lnp
