@@ -17,6 +17,9 @@ import jax.numpy as jnp
 
 def main():
     from ursabench_tpu import data, inference, models
+    from ursabench_tpu.util import enable_compilation_cache
+
+    enable_compilation_cache()
     from ursabench_tpu.inference.engine import init_variables
     from ursabench_tpu.util import softmax_probs, tree_stack
 

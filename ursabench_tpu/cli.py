@@ -20,6 +20,9 @@ def main(argv=None):
         print(__doc__)
         return 0
     cmd, rest = argv[0], argv[1:]
+    from .util import enable_compilation_cache
+
+    enable_compilation_cache()
     if cmd == "run":
         from .experiment import main as run_main
 

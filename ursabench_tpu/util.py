@@ -148,3 +148,19 @@ def make_dic_json_format(dic: dict) -> dict:
 
 def list_to_dic(names: Iterable[str], values: Sequence) -> dict:
     return {name: values[i] for i, name in enumerate(names)}
+
+
+def enable_compilation_cache(path: str = "/tmp/ursabench_jax_cache") -> None:
+    """Enable JAX's persistent compilation cache. Sampler instances create
+    fresh jit closures (one per trial/seed in the reference protocols), and
+    without the cache every instance recompiles identical HLO — on the
+    remote-compile TPU path that's 30-90s per trial vs ~1s with the cache.
+    Called by the CLI drivers and bench."""
+    import os
+
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
