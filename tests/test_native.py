@@ -55,3 +55,45 @@ def test_host_streaming_split():
     # second epoch reshuffles
     b2 = list(split.epoch())
     assert not np.allclose(np.asarray(batches[0][0]), np.asarray(b2[0][0]))
+
+
+def test_streaming_training_epoch():
+    """Host-streamed SGHMC training: C++ gather/normalize feeding the
+    single-batch jitted step; loss must decrease on separable data."""
+    import jax
+    import jax.numpy as jnp
+
+    from ursabench_tpu import models
+    from ursabench_tpu.data.sources import synthetic
+    from ursabench_tpu.inference.engine import (
+        TrainState, init_variables, make_streaming_step_fn,
+        run_streaming_epoch,
+    )
+    from ursabench_tpu.inference.sgmcmc import _cosine_hyp_lr, _sghmc_hyp_update
+
+    images, labels = synthetic("MNIST", train=True, n=256)
+    spec = ImageSpec(28, 1, (0.1307,), (0.3081,))
+    stream = native.HostStreamingSplit(images, labels, batch_size=64, spec=spec)
+
+    module = models.get_model("MLP200MNIST").build(10)
+    variables = init_variables(module, jax.random.PRNGKey(0), (28, 28, 1))
+    state = TrainState(
+        params=variables["params"],
+        momentum=jax.tree.map(jnp.zeros_like, variables["params"]),
+        batch_stats=variables.get("batch_stats", {}),
+        key=jax.random.PRNGKey(1),
+        step=jnp.zeros((), jnp.int32),
+    )
+    hyp = {
+        "lr0": jnp.float32(0.05), "eta_min": jnp.float32(0.0),
+        "t_max": jnp.float32(10.0), "momentum": jnp.float32(0.9),
+        "wd_over_n": jnp.float32(1.0 / 256), "n_train": jnp.float32(256),
+    }
+    step = make_streaming_step_fn(module, lr_fn=_cosine_hyp_lr,
+                                  update_fn=_sghmc_hyp_update)
+    first_losses = None
+    for epoch in range(6):
+        state, losses = run_streaming_epoch(step, state, stream, epoch, 1.0, hyp)
+        if first_losses is None:
+            first_losses = losses
+    assert float(losses[-1]) < float(first_losses[0])

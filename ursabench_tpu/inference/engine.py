@@ -128,6 +128,59 @@ def make_epoch_fn(
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn):
+    """Single-batch jitted training step for host-streamed data (datasets
+    too large for HBM): the C++ pipeline (data/native.HostStreamingSplit)
+    gathers/normalizes on the host and double-buffers device transfers;
+    this step consumes one already-normalized batch at a time. Signature:
+    ``step(state, x, y, epoch, batch_idx, noise_on, hyp) -> (state, loss)``.
+    """
+
+    def loss_fn(params, batch_stats, x, y, dropout_key):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits, mutated = module.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        return cross_entropy_mean(logits, y), mutated.get("batch_stats", {})
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def step(state: TrainState, x, y, epoch, batch_idx, noise_on, hyp):
+        key, k_noise, k_drop = jax.random.split(state.key, 3)
+        (loss, new_bstats), grads = grad_fn(
+            state.params, state.batch_stats, x, y, k_drop
+        )
+        lr = lr_fn(hyp, epoch, batch_idx, state.step)
+        params, mom = update_fn(
+            state.params, state.momentum, grads, hyp,
+            lr=lr, noise_on=noise_on, is_first_step=(state.step == 0),
+            key=k_noise,
+        )
+        if not new_bstats:
+            new_bstats = state.batch_stats
+        return TrainState(params, mom, new_bstats, key, state.step + 1), loss
+
+    return step
+
+
+def run_streaming_epoch(step_fn, state: TrainState, stream, epoch: int,
+                        noise_on: float, hyp: dict):
+    """Drive one epoch from a HostStreamingSplit: host gather of batch i+1
+    overlaps device compute of batch i (the stream double-buffers)."""
+    losses = []
+    for bi, (x, y) in enumerate(stream.epoch()):
+        state, loss = step_fn(
+            state, x, y, jnp.asarray(float(epoch)), jnp.asarray(bi),
+            jnp.asarray(noise_on), hyp,
+        )
+        losses.append(loss)
+    return state, losses
+
+
 def make_bn_refresh_fn(module, split: DataSplit):
     """Recompute BatchNorm running buffers with one exact full-epoch pass
     (reference ``bn_update``, /root/reference/URSABench/util.py:212-247:
