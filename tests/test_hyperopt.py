@@ -129,3 +129,31 @@ def test_sanitize_targets():
 
     with _pytest.raises(RuntimeError):
         sanitize_targets(np.array([float("nan")]))
+
+
+def test_run_hypopt_parallel_dry_run(tmp_path, monkeypatch):
+    import json as _json
+
+    from ursabench_tpu.run_hypopt import main_par
+
+    domain_path = tmp_path / "domain.json"
+    domain_path.write_text(_json.dumps([
+        {"name": "lr", "type": "continuous", "domain": [0.001, 0.1],
+         "option": "logspace"},
+        {"name": "prior_std", "type": "constant", "domain": 1.0},
+        {"name": "num_samples", "type": "constant", "domain": 2},
+        {"name": "burn_in_epochs", "type": "constant", "domain": 1},
+    ]))
+    monkeypatch.chdir(tmp_path)
+    cmds = main_par([
+        "--domain_path", str(domain_path), "--dataset", "MNIST",
+        "--model", "MLP200MNIST", "--inference_method", "SGLD",
+        "--N_evaluations", "3", "--dry_run",
+        "--synthetic_n_train", "96", "--synthetic_n_test", "32",
+    ])
+    assert len(cmds) == 3
+    for c in cmds:
+        assert c[:3] == ["python", "-m", "ursabench_tpu.experiment"]
+        assert "--use_val" in c
+        hyp = _json.loads(c[c.index("--hyperparams") + 1])
+        assert 0.001 <= hyp["lr"] <= 0.1

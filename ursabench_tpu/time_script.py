@@ -104,9 +104,11 @@ def main(argv=None):
     timer = {}
     for method in args.methods:
         hyp = load_method_hyp(args.hyperparams_path, method)
-        if hyp is None:
-            print(f"{method}: no hyperparameters found, using defaults")
-        else:
+        cls_default = getattr(inference.get_inference(method), "_DEFAULT_HYP", None)
+        if hyp is None and cls_default is not None:
+            print(f"{method}: no tuned hyperparameters found, using defaults")
+            hyp = dict(cls_default)
+        if hyp is not None:
             hyp = normalize_burnin(method, hyp, args.S)
         print(method)
         print(f"Time for {args.S} sample.")
