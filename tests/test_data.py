@@ -131,3 +131,34 @@ def test_augment_normalized_padding_semantics():
     vals0 = np.round(out[~near_pad][:, 0], 5)
     matched = np.isin(vals0, src0) | np.isclose(vals0, pad_val[0], atol=1e-4)
     assert matched.mean() > 0.999
+
+
+def test_read_cifar_honors_requested_variant(tmp_path):
+    """A shared data dir with BOTH CIFAR layouts must yield the requested one."""
+    import pickle
+
+    from ursabench_tpu.data.sources import read_cifar
+
+    rng = np.random.default_rng(0)
+
+    c10 = tmp_path / "cifar-10-batches-py"
+    c10.mkdir()
+    for i in range(1, 6):
+        with open(c10 / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": rng.integers(0, 255, (4, 3072), dtype=np.uint8),
+                         b"labels": [0, 1, 2, 3]}, f)
+    with open(c10 / "test_batch", "wb") as f:
+        pickle.dump({b"data": rng.integers(0, 255, (4, 3072), dtype=np.uint8),
+                     b"labels": [4, 5, 6, 7]}, f)
+
+    c100 = tmp_path / "cifar-100-python"
+    c100.mkdir()
+    for name in ("train", "test"):
+        with open(c100 / name, "wb") as f:
+            pickle.dump({b"data": rng.integers(0, 255, (4, 3072), dtype=np.uint8),
+                         b"fine_labels": [97, 98, 99, 96]}, f)
+
+    x10, y10 = read_cifar(str(tmp_path), train=True, variant=10)
+    assert x10.shape == (20, 32, 32, 3) and y10.max() <= 9
+    x100, y100 = read_cifar(str(tmp_path), train=True, variant=100)
+    assert x100.shape == (4, 32, 32, 3) and y100.max() == 99

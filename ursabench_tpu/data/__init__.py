@@ -166,7 +166,7 @@ def loaders_inc(
     assert dataset in {"MNIST", "CIFAR10", "CIFAR100"}
     del num_workers
     x_tr, y_tr, _ = load_raw(dataset, path, train=True, synthetic_n=synthetic_n_train)
-    num_classes = int(y_tr.max()) + 1
+    num_classes = DATASET_PROFILES[dataset][2]
     total = len(x_tr)
     num_samples = (total - val_size) if use_validation else total
     order = np.random.RandomState(seed).permutation(total)

@@ -75,13 +75,16 @@ def read_mnist_like(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | N
     return x, y
 
 
-def read_cifar(root: str, train: bool, coarse: bool = False) -> Tuple[np.ndarray, np.ndarray] | None:
+def read_cifar(root: str, train: bool, variant: int = 10) -> Tuple[np.ndarray, np.ndarray] | None:
+    """Read the REQUESTED CIFAR variant only — a shared data dir often holds
+    both cifar-10-batches-py and cifar-100-python, and picking by directory
+    presence would silently load the wrong dataset."""
     c10 = os.path.join(root, "cifar-10-batches-py")
     c100 = os.path.join(root, "cifar-100-python")
-    if os.path.isdir(c100):
+    if variant == 100 and os.path.isdir(c100):
         files = ["train"] if train else ["test"]
         base, key = c100, b"fine_labels"
-    elif os.path.isdir(c10):
+    elif variant == 10 and os.path.isdir(c10):
         files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
         base, key = c10, b"labels"
     else:
@@ -200,7 +203,7 @@ def load_raw(
         if name in ("MNIST", "FashionMNIST", "KMNIST"):
             out = read_mnist_like(root, train)
         elif name in ("CIFAR10", "CIFAR100"):
-            out = read_cifar(root, train)
+            out = read_cifar(root, train, variant=100 if name == "CIFAR100" else 10)
         elif name == "SVHN":
             out = read_svhn(root, "train" if train else "test")
         elif name == "STL10":

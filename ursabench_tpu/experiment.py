@@ -167,6 +167,7 @@ def main(argv=None):
     for s in range(S):
         print("Prediction:", s)
         sampler = _make_sampler(args, hyperparams, module, train_split, s)
+        _load_pretrained(sampler, pretrained)
         ensemble = sampler.sample()
 
         task = tasks.Prediction(task_loader, num_classes, metric_list=metric_list)
@@ -218,6 +219,7 @@ def main(argv=None):
             )
             sampler = _make_sampler(args, hyperparams, module,
                                     loaders_imb["train"], s)
+            _load_pretrained(sampler, pretrained)
             ensemble = sampler.sample()
             dec = tasks.Decision(
                 {"decision_data_test": loaders_imb["test"]}, int(nc)

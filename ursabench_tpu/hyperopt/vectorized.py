@@ -41,9 +41,14 @@ def vectorized_random_search(
             h["alpha"] = 1.0
     sweep = SGHMCSweep(hyps, model=module, train=train,
                        key=jax.random.PRNGKey(seed))
-    objs = sweep.objectives(task_factory)
+    objs = _finite_or_neg_inf(sweep.objectives(task_factory))
     i = int(np.argmax(objs))
     return hyps[i], float(objs[i]), hyps, [float(o) for o in objs]
+
+
+def _finite_or_neg_inf(objs):
+    """Diverged configs (NaN objectives) must never win argmax."""
+    return [float(o) if np.isfinite(o) else float("-inf") for o in objs]
 
 
 def batched_bayesopt_sghmc(
@@ -84,7 +89,7 @@ def batched_bayesopt_sghmc(
                 h["alpha"] = 1.0
         sweep = SGHMCSweep(hyps, model=module, train=train,
                            key=jax.random.PRNGKey(seed))
-        return hyps, sweep.objectives(task_factory)
+        return hyps, _finite_or_neg_inf(sweep.objectives(task_factory))
 
     hyp_list, obj_list = evaluate(pts)
     train_x = np.asarray(pts, np.float64)

@@ -104,6 +104,8 @@ class _Inference:
 
     def compute_val_loss(self, val_split: DataSplit, params, batch_stats) -> float:
         cache_key = id(val_split)
-        if cache_key not in self._val_loss_cache:
-            self._val_loss_cache[cache_key] = make_eval_loss_fn(self.module, val_split)
-        return float(self._val_loss_cache[cache_key](params, batch_stats))
+        entry = self._val_loss_cache.get(cache_key)
+        if entry is None or entry[0] is not val_split:
+            entry = (val_split, make_eval_loss_fn(self.module, val_split))
+            self._val_loss_cache[cache_key] = entry
+        return float(entry[1](params, batch_stats))

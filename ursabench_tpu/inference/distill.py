@@ -30,8 +30,8 @@ def _train_regressor(module, split: DataSplit, targets, loss_kind: str,
     images, _ = split.device_arrays()
     spec = split.spec
     n = split.n
-    bsz = split.batch_size
-    nb = n // bsz  # drop ragged tail for static shapes
+    bsz = min(split.batch_size, n)
+    nb = max(1, n // bsz)  # drop ragged tail; never zero training steps
     variables = init_variables(module, key, spec.shape)
     params = variables["params"]
     has_bn = bool(variables.get("batch_stats"))

@@ -128,13 +128,17 @@ def make_epoch_fn(
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn):
+def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
+                           spec=None):
     """Single-batch jitted training step for host-streamed data (datasets
     too large for HBM): the C++ pipeline (data/native.HostStreamingSplit)
     gathers/normalizes on the host and double-buffers device transfers;
-    this step consumes one already-normalized batch at a time. Signature:
+    this step consumes one already-normalized batch at a time. Pass the
+    split's ``spec`` to apply random crop/flip on device (otherwise the
+    streamed path would silently train without augmentation). Signature:
     ``step(state, x, y, epoch, batch_idx, noise_on, hyp) -> (state, loss)``.
     """
+    do_augment = spec is not None and (spec.random_crop_pad or spec.random_flip)
 
     def loss_fn(params, batch_stats, x, y, dropout_key):
         variables = {"params": params}
@@ -150,7 +154,9 @@ def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn):
 
     @jax.jit
     def step(state: TrainState, x, y, epoch, batch_idx, noise_on, hyp):
-        key, k_noise, k_drop = jax.random.split(state.key, 3)
+        key, k_noise, k_drop, k_aug = jax.random.split(state.key, 4)
+        if do_augment:
+            x = augment_normalized(k_aug, x, spec)
         (loss, new_bstats), grads = grad_fn(
             state.params, state.batch_stats, x, y, k_drop
         )

@@ -151,6 +151,8 @@ class PCASubspaceSampler(_Inference):
         bstats = self.swa._state.batch_stats
         if update_bn and bstats:
             bstats = self.swa._bn_refresh(params, bstats)
+        else:
+            bstats = jax.tree.map(lambda x: x.copy(), bstats)
         return params, bstats
 
     def sample(self, num_samples=None, val_loader=None, debug_val_loss=False) -> Ensemble:

@@ -53,6 +53,11 @@ class SWA(_Inference):
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
                  **subspace_kwargs):
+        if chains not in (1, None):
+            raise NotImplementedError(
+                "SWA/SWAG run a single trajectory (the running weight moments "
+                "are chain-global); use SGHMC/SGLD/DeepEnsemble for chains"
+            )
         super().__init__(hyperparameters, model, train, model_loss, key, 1)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
@@ -154,6 +159,9 @@ class SWA(_Inference):
         bstats = self._state.batch_stats
         if update_bn and bstats:
             bstats = self._bn_refresh(params, bstats)
+        else:
+            # copy: live state buffers are donated back to the next epoch call
+            bstats = jax.tree.map(lambda x: x.copy(), bstats)
         return params, bstats
 
     def sample_iterative(self, update_bn_swa=True, val_loader=None,

@@ -83,6 +83,8 @@ class SWAG(SWA):
         bstats = self._state.batch_stats
         if update_bn and bstats:
             bstats = self._bn_refresh(params, bstats)
+        else:
+            bstats = jax.tree.map(lambda x: x.copy(), bstats)
         return params, bstats
 
     def sample(self, num_samples=None, val_loader=None, debug_val_loss=False,

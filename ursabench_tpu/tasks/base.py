@@ -45,8 +45,10 @@ def accumulate_split(ensemble: Ensemble, split, smooth_probs: bool):
 
     from ..data.transforms import normalize
 
+    # hold the split in the cache entry: id() alone could be reused after gc
+    # and silently evaluate against a dead split's arrays
     key = ("accumulate", id(split), bool(smooth_probs))
-    if key not in ensemble._jit_cache:
+    if key not in ensemble._jit_cache or ensemble._jit_cache[key][0] is not split:
         images, _ = split.device_arrays()
         spec = split.spec
         n = split.n
@@ -106,8 +108,8 @@ def accumulate_split(ensemble: Ensemble, split, smooth_probs: bool):
             )
             return acc_p[:n], acc_e[:n]
 
-        ensemble._jit_cache[key] = jax.jit(run)
-    acc_p, acc_e = ensemble._jit_cache[key](
+        ensemble._jit_cache[key] = (split, jax.jit(run))
+    acc_p, acc_e = ensemble._jit_cache[key][1](
         ensemble.params, ensemble.batch_stats, ensemble.dropout_keys
     )
     return np.asarray(acc_p), np.asarray(acc_e)

@@ -54,9 +54,12 @@ def normalize_burnin(method: str, hyp: dict, S: int) -> dict:
     return hyp
 
 
-def load_method_hyp(hyperparams_path: str | None, method: str) -> dict | None:
+def load_method_hyp(hyperparams_path: str | None, method: str,
+                    model: str = "MLP200MNIST",
+                    dataset: str = "MNIST") -> dict | None:
     """Per-method `<path><Method>_BO.json` (time_script.py:77) with fallback
-    to the bundled tuned-hyperparameter library."""
+    to the bundled tuned-hyperparameter library, matched to the benchmarked
+    model+dataset (groups are named like 'WideResNet28x10CIFAR10')."""
     if hyperparams_path:
         p = hyperparams_path + method + "_BO.json"
         if os.path.exists(p):
@@ -66,7 +69,9 @@ def load_method_hyp(hyperparams_path: str | None, method: str) -> dict | None:
     )
     if os.path.exists(bundled):
         lib = json_open_from_file(os.path.abspath(bundled))
-        return lib.get("MLP200MNIST", {}).get(method)
+        for group in (f"{model}{dataset}", model, f"{model}{dataset.upper()}"):
+            if group in lib and method in lib[group]:
+                return lib[group][method]
     return None
 
 
@@ -103,7 +108,8 @@ def main(argv=None):
 
     timer = {}
     for method in args.methods:
-        hyp = load_method_hyp(args.hyperparams_path, method)
+        hyp = load_method_hyp(args.hyperparams_path, method,
+                              model=args.model, dataset=args.dataset)
         cls_default = getattr(inference.get_inference(method), "_DEFAULT_HYP", None)
         if hyp is None and cls_default is not None:
             print(f"{method}: no tuned hyperparameters found, using defaults")
