@@ -60,18 +60,21 @@ def main():
         def one(p, b):
             return module.apply({"params": p, "batch_stats": b}, x, train=False)
 
-        return softmax_probs(jax.vmap(one)(params, bstats)).sum(0)
+        return softmax_probs(jax.vmap(one)(params, bstats)).mean(0)
 
     batches = list(test.batches())
     bma_probs(params, bstats, batches[0][0]).block_until_ready()  # compile
     t0 = time.perf_counter()
     n_imgs = 0
+    out = None
     for x, _ in batches:
         if x.shape[0] != batch:
             continue
-        bma_probs(params, bstats, x)
+        out = bma_probs(params, bstats, x)
         n_imgs += x.shape[0]
-    jax.block_until_ready(params)
+    # block on the LAST OUTPUT: blocking on an input is a no-op under JAX
+    # async dispatch and would time the enqueue rate, not the compute
+    out.block_until_ready()
     t1 = time.perf_counter()
     images_per_sec = n_imgs / (t1 - t0)
 

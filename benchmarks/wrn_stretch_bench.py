@@ -113,19 +113,25 @@ def run_torch(steps: int, members: int):
             out = F.avg_pool2d(out, 8).flatten(1)
             return self.fc(out)
 
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_cpu_baseline import sghmc_step  # the real SGHMC update
+
     torch.manual_seed(0)
     batch = 128
     model = WRN2810().train()
     x = torch.randn(batch, 3, 32, 32)
     y = torch.randint(0, 100, (batch,))
-    opt = torch.optim.SGD(model.parameters(), lr=0.01, momentum=0.9)
+    bufs = [None] * len(list(model.parameters()))
     # warmup
-    opt.zero_grad(); F.cross_entropy(model(x), y).backward(); opt.step()
+    model.zero_grad(); F.cross_entropy(model(x), y).backward()
+    sghmc_step(model, bufs, 0.01, 0.9, 1.0, 50000)
     t0 = time.perf_counter()
     for _ in range(steps):
-        opt.zero_grad()
+        model.zero_grad()
         F.cross_entropy(model(x), y).backward()
-        opt.step()
+        sghmc_step(model, bufs, 0.01, 0.9, 1.0, 50000)
     steps_per_sec = steps / (time.perf_counter() - t0)
 
     eval_models = [WRN2810().eval() for _ in range(members)]

@@ -39,6 +39,7 @@ void ursa_gather_normalize(
     const float* mean, const float* stddev, float* out_x, int32_t* out_y) {
   const int64_t item_bytes = item_pixels * channels;
   // precompute per-channel scale/bias: x*scale + bias
+  if (channels > 16) return;  // caller contract: image data, <=16 channels
   float scale[16], bias[16];
   for (int64_t c = 0; c < channels; ++c) {
     scale[c] = 1.0f / (255.0f * stddev[c]);

@@ -61,7 +61,12 @@ def _tie_averaged_ranks(scores: jnp.ndarray) -> jnp.ndarray:
 
 
 def auroc(labels: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
-    """roc_auc_score(labels, scores); labels in {0,1}, higher score => 1."""
+    """roc_auc_score(labels, scores); labels in {0,1}, higher score => 1.
+
+    Degenerate label sets (npos==0 or nneg==0) return NaN — the jitted
+    analogue of sklearn's ValueError (e.g. misclassification AUROC when the
+    ensemble classifies everything correctly); callers surface the NaN
+    rather than a misleading number."""
     labels = labels.astype(jnp.float32)
     ranks = _tie_averaged_ranks(scores)
     npos = jnp.sum(labels)
@@ -73,7 +78,8 @@ def auroc(labels: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
 def average_precision(labels: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
     """average_precision_score(labels, scores) with sklearn's step-sum
     semantics: AP = (1/npos) * sum over positives of the precision at their
-    tie-group end (all samples scoring >= that sample's score)."""
+    tie-group end (all samples scoring >= that sample's score). npos==0
+    returns NaN (see auroc note)."""
     labels = labels.astype(jnp.float32)
     n = scores.shape[0]
     order = jnp.argsort(-scores)

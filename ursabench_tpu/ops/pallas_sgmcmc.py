@@ -52,7 +52,10 @@ def _sghmc_kernel(scalar_ref, seed_ref, p_ref, v_ref, g_ref, p_out, v_out):
     noise_scale = scalar_ref[3]  # sqrt(2*(1-m)*lr)/n * noise_on
     is_first = scalar_ref[4]
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # two-component seed: (step seed, tile id). A single additive seed would
+    # overlap streams across consecutive steps (step s tile i == step s+1
+    # tile i-1), correlating Langevin noise between SGHMC steps.
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     p = p_ref[:]
     g = g_ref[:]

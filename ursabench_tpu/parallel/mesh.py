@@ -79,13 +79,13 @@ def sharded_sghmc_step(
     state_sharding = NamedSharding(mesh, P("chain"))
     batch_sharding = NamedSharding(mesh, P("data"))
 
-    def loss_fn(params, batch_stats, x, y):
+    def loss_fn(params, batch_stats, x, y, dropout_key):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         logits, mutated = module.apply(
             variables, x, train=True, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.PRNGKey(0)},
+            rngs={"dropout": dropout_key},
         )
         import optax
 
@@ -94,36 +94,51 @@ def sharded_sghmc_step(
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def local_step(state, x_local, y_local, noise_on):
+    def local_step(state, x_local, y_local, noise_on, is_first):
         """Runs on one device: local chains x local batch shard."""
         params, mom, bstats, keys = state
         x = normalize(x_local, spec)
+        data_idx = jax.lax.axis_index("data")
 
         def one_chain(p, v, b, k):
-            grads, (new_b, n_local) = grad_fn(p, b, x, y_local)
+            k, k_noise, k_drop = jax.random.split(k, 3)
+            # dropout masks differ per data shard (different samples) and
+            # per chain/step (fresh key from the carried chain stream)
+            grads, (new_b, n_local) = grad_fn(
+                p, b, x, y_local, jax.random.fold_in(k_drop, data_idx)
+            )
             # mean over the *global* batch: psum sums over data shards
             n_global = jax.lax.psum(jnp.asarray(n_local, jnp.float32), "data")
             grads = jax.tree.map(
                 lambda g: jax.lax.psum(g, "data") / n_global, grads
             )
-            k, k_noise = jax.random.split(k)
+            # BN running stats: each shard saw only its slice; average the
+            # mutated stats over 'data' so every shard carries the same,
+            # whole-batch statistics (out_specs claims data-replication)
+            if new_b:
+                new_b = jax.tree.map(lambda s: jax.lax.pmean(s, "data"), new_b)
             p2, v2 = sghmc_update(
                 p, v, grads, lr=lr, momentum=momentum, wd_over_n=wd / n_train,
                 n_train=float(n_train), noise_on=noise_on,
-                is_first_step=jnp.asarray(False), key=k_noise,
+                is_first_step=is_first, key=k_noise,
             )
             return p2, v2, new_b if new_b else b, k
 
         return jax.vmap(one_chain)(params, mom, bstats, keys)
 
     sharded = jax.shard_map(
-        lambda state, x, y, noise: local_step(state, x, y, noise),
+        local_step,
         mesh=mesh,
-        in_specs=(P("chain"), P("data"), P("data"), P()),
+        in_specs=(P("chain"), P("data"), P("data"), P(), P()),
         out_specs=P("chain"),
         check_vma=False,
     )
-    step = jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def step(state, x, y, noise_on, is_first=False):
+        return jitted(state, x, y, jnp.asarray(noise_on, jnp.float32),
+                      jnp.asarray(is_first))
+
     return step, state_sharding, batch_sharding
 
 

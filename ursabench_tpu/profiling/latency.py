@@ -66,9 +66,10 @@ def build_engine(module, params, batch_stats, batch_size, input_shape,
 
         bs_axis = None if batch_stats is None else 0
         logits = jax.vmap(one, in_axes=(0, bs_axis))(params, batch_stats)
+        # posterior-mean probabilities (consistent with export.py engines)
         return jnp.exp(
             jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        ).sum(0)
+        ).mean(0)
 
     x = jnp.zeros((batch_size,) + tuple(input_shape), jnp.float32)
     compiled = jax.jit(fn).lower(params, batch_stats, x).compile()
