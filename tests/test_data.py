@@ -106,6 +106,63 @@ def test_tin_synthetic_profile():
     assert splits["train"].images.shape[1:] == (64, 64, 3)
 
 
+def test_lsun_celeba_loaders(tmp_path):
+    """LSUN/CelebA close the reference loader surface (datasets.py:165-168):
+    synthetic fallback with the 10-class profile, and on-disk ImageFolder
+    trees defining their own class count (max(targets)+1 semantics)."""
+    from PIL import Image
+
+    from ursabench_tpu import data
+
+    for name in ("LSUN", "CelebA"):
+        splits, C = data.loaders(name, None, batch_size=16, use_validation=False,
+                                 synthetic_n_train=48, synthetic_n_test=16)
+        assert C == 10
+        assert splits["train"].images.shape[1:] == (64, 64, 3)
+
+    # on-disk tree with 3 classes -> num_classes from disk, not the profile
+    root = tmp_path / "lsun"
+    for split in ("train", "test"):
+        for cls in ("bedroom", "bridge", "tower"):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(2):
+                Image.new("RGB", (64, 64), color=(i * 30, 10, 0)).save(
+                    d / f"{i}.png"
+                )
+    splits, C = data.loaders("LSUN", str(root), batch_size=4,
+                             use_validation=False)
+    assert C == 3
+    assert splits["train"].images.shape == (6, 64, 64, 3)
+
+
+def test_ensemble_update_statistics_alias(small_ensemble_module=None):
+    """_Task.ensemble_update_statistics (task_base.py:16) delegates to the
+    vmapped update_statistics — the plural surface the reference declared
+    but never implemented."""
+    from ursabench_tpu import data, tasks
+    from ursabench_tpu.inference.ensemble import Ensemble
+    import jax
+
+    from ursabench_tpu import models
+    from ursabench_tpu.inference.engine import init_variables
+    from ursabench_tpu.util import tree_stack
+
+    splits, C = data.loaders("MNIST", None, batch_size=32, use_validation=False,
+                             synthetic_n_train=64, synthetic_n_test=64)
+    module = models.get_model("MLP200MNIST").build(C)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    variables = [init_variables(module, k, splits["test"].spec.shape) for k in keys]
+    ens = Ensemble(module, tree_stack([v["params"] for v in variables]), None, 2)
+    t1 = tasks.Prediction({"in_distribution_test": splits["test"]}, C,
+                          metric_list=["error_rate", "nll"])
+    t2 = tasks.Prediction({"in_distribution_test": splits["test"]}, C,
+                          metric_list=["error_rate", "nll"])
+    t1.update_statistics(ens, output_performance=False)
+    t2.ensemble_update_statistics(ens, output_performance=False)
+    assert t1.get_performance_metrics() == t2.get_performance_metrics()
+
+
 def test_augment_normalized_padding_semantics():
     """Pad border must equal the normalized zero pixel; flips/crops preserve
     the multiset of interior values."""

@@ -139,6 +139,41 @@ def test_subspace_pca_matches_sklearn():
         assert match < 1e-3
 
 
+def test_minka_mle_rank_selection():
+    """pca_rank='mle' (reference subspaces.py:135-154): the evidence formula
+    matches sklearn's Minka estimator, and the selected rank recovers the
+    intrinsic dimension of a synthetic low-rank deviation matrix."""
+    from sklearn.decomposition._pca import _assess_dimension
+
+    from ursabench_tpu.inference.subspaces import PCASpace, minka_log_evidence
+
+    # 1. formula parity: modern sklearn's _assess_dimension is the 0.20
+    # _assess_dimension_ with pp = (m+rank)/2 instead of (m+rank+1)/2 — a
+    # rank-constant offset of log(2*pi)/2 (argmax invariant)
+    spectrum = np.array([5.0, 2.0, 0.8, 0.3, 0.1, 0.05])
+    n_feat, n_samp = len(spectrum), 400
+    for r in range(1, n_feat):
+        ours = minka_log_evidence(spectrum, r, n_feat, n_samp)
+        ref = float(_assess_dimension(spectrum, r, n_samp))
+        assert abs((ours - np.log(2 * np.pi) / 2.0) - ref) < 1e-8, (r, ours, ref)
+
+    # 2. end-to-end rank selection: K deviation vectors with 3 dominant
+    # directions + tiny isotropic noise -> MLE picks rank 3
+    rng = np.random.default_rng(3)
+    P, K, true_rank = 400, 10, 3
+    basis = rng.normal(size=(true_rank, P))
+    space = PCASpace(P, pca_rank="mle", max_rank=K)
+    for _ in range(K):
+        coeff = rng.normal(size=true_rank) * np.array([30.0, 20.0, 10.0])
+        v = coeff @ basis + 0.01 * rng.normal(size=P)
+        space.collect_vector(jax.numpy.asarray(v, dtype="float32"))
+    sv = np.asarray(space.get_space())
+    assert space.pca_rank == true_rank
+    assert sv.shape == (true_rank, P)
+    # reference quirk mirrored: pca_rank is permanently overwritten to the int
+    assert isinstance(space.pca_rank, int)
+
+
 def test_deep_ensemble(tiny):
     splits, C, module = tiny
     de = inference.DeepEnsemble(

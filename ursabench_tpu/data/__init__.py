@@ -65,10 +65,16 @@ def loaders(
             synthetic_n_train, synthetic_n_test,
         )
 
-    x_tr, y_tr, _ = load_raw(dataset, path, train=True, synthetic_n=synthetic_n_train)
+    x_tr, y_tr, is_synth = load_raw(
+        dataset, path, train=True, synthetic_n=synthetic_n_train
+    )
     # profile count when known — max(labels)+1 (the reference's inference,
-    # datasets.py:171) undercounts on small synthetic subsets
-    if dataset in DATASET_PROFILES:
+    # datasets.py:171) undercounts on small synthetic subsets. LSUN/CelebA
+    # read an arbitrary on-disk ImageFolder tree, so real data defines its
+    # own class count (the reference's max(targets)+1, datasets.py:166-168).
+    if dataset in ("LSUN", "CelebA") and not is_synth:
+        num_classes = int(y_tr.max()) + 1
+    elif dataset in DATASET_PROFILES:
         num_classes = DATASET_PROFILES[dataset][2]
     else:
         num_classes = int(y_tr.max()) + 1

@@ -30,6 +30,12 @@ DATASET_PROFILES = {
     "SVHN": (32, 3, 10, 73257, 10000),
     "STL10": (32, 3, 10, 5000, 8000),
     "TIN": (64, 3, 200, 100000, 10000),
+    # LSUN (10 scene categories) / CelebA: the reference defers to
+    # torchvision downloads (datasets.py:165-168); here both read an on-disk
+    # <root>/{train,test}/<class>/ ImageFolder tree (class count from disk)
+    # with a 10-class synthetic fallback profile under zero egress
+    "LSUN": (64, 3, 10, 10000, 1000),
+    "CelebA": (64, 3, 10, 10000, 1000),
 }
 
 # STL-10 labels remapped to CIFAR class order (datasets.py:163)
@@ -139,9 +145,17 @@ def read_image_folder(root: str, size: int) -> Tuple[np.ndarray, np.ndarray] | N
     return np.stack(xs), np.asarray(ys, np.int64)
 
 
+def read_split_image_folder(
+    root: str, train: bool, size: int
+) -> Tuple[np.ndarray, np.ndarray] | None:
+    """Directory layout <root>/{train,test}/<class>/... (TinyImageNet-style,
+    also serves LSUN/CelebA exports)."""
+    return read_image_folder(os.path.join(root, "train" if train else "test"), size)
+
+
 def read_tin(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
     """TinyImageNet directory layout: <root>/{train,test}/<class>/..."""
-    return read_image_folder(os.path.join(root, "train" if train else "test"), 64)
+    return read_split_image_folder(root, train, 64)
 
 
 def read_stl10(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
@@ -210,6 +224,10 @@ def load_raw(
             out = read_stl10(root, train)
         elif name == "TIN":
             out = read_tin(root, train)
+        elif name in ("LSUN", "CelebA"):
+            out = read_split_image_folder(
+                root, train, DATASET_PROFILES[name][0]
+            )
     if out is not None:
         x, y = out
         if name == "STL10":

@@ -126,11 +126,11 @@ class GP:
         mean, std = posterior(self.params, self.x, self.y, xq)
         return mean + jnp.sqrt(beta) * std
 
-    def optimize_ucb(self, bounds: jnp.ndarray, key: jax.Array, beta: float = 0.1,
-                     raw_samples: int = 200, num_restarts: int = 20,
-                     ascent_steps: int = 50) -> jnp.ndarray:
+    def _ascend_from_candidates(self, bounds, key, beta, raw_samples,
+                                num_restarts, ascent_steps):
         """Random candidates -> top-k -> jitted Adam ascent with clipping
-        (mirrors gen_batch_initial_conditions + optimize_acqf, :441-449)."""
+        (mirrors gen_batch_initial_conditions + optimize_acqf, :441-449).
+        Returns (endpoints, ucb values) over the num_restarts restarts."""
         lo, hi = bounds[:, 0], bounds[:, 1]
         d = bounds.shape[0]
         cand = lo + (hi - lo) * jax.random.uniform(key, (raw_samples, d))
@@ -158,7 +158,14 @@ class GP:
                                       length=ascent_steps)
             return xx, -obj(xx)
 
-        xs, vs = jax.vmap(ascend)(top)
+        return jax.vmap(ascend)(top)
+
+    def optimize_ucb(self, bounds: jnp.ndarray, key: jax.Array, beta: float = 0.1,
+                     raw_samples: int = 200, num_restarts: int = 20,
+                     ascent_steps: int = 50) -> jnp.ndarray:
+        xs, vs = self._ascend_from_candidates(
+            bounds, key, beta, raw_samples, num_restarts, ascent_steps
+        )
         return xs[jnp.argmax(vs)]
 
     def optimize_ucb_batch(self, bounds: jnp.ndarray, key: jax.Array, q: int,
@@ -171,31 +178,9 @@ class GP:
 
         lo, hi = bounds[:, 0], bounds[:, 1]
         d = bounds.shape[0]
-        cand = lo + (hi - lo) * jax.random.uniform(key, (raw_samples, d))
-        vals = self.ucb(cand, beta)
-        top = cand[jnp.argsort(-vals)[:num_restarts]]
-        x_tr, y_tr, params = self.x, self.y, self.params
-
-        @jax.jit
-        def ascend(x0):
-            opt = optax.adam(5e-2)
-
-            def obj(xx):
-                mean, std = posterior(params, x_tr, y_tr, xx[None])
-                return -(mean[0] + jnp.sqrt(beta) * std[0])
-
-            def step(carry, _):
-                xx, s = carry
-                g = jax.grad(obj)(xx)
-                updates, s = opt.update(g, s, xx)
-                xx = jnp.clip(optax.apply_updates(xx, updates), lo, hi)
-                return (xx, s), None
-
-            (xx, _), _ = jax.lax.scan(step, (x0, opt.init(x0)), None,
-                                      length=ascent_steps)
-            return xx, -obj(xx)
-
-        xs, vs = jax.vmap(ascend)(top)
+        xs, vs = self._ascend_from_candidates(
+            bounds, key, beta, raw_samples, num_restarts, ascent_steps
+        )
         xs_np = np.asarray(xs)
         order = np.argsort(-np.asarray(vs))
         span = np.asarray(hi - lo)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class Subspace:
@@ -90,6 +91,52 @@ def _gram_svd(a: jnp.ndarray, k: int):
     return s[:k], sv
 
 
+def minka_log_evidence(spectrum, rank, n_features, n_samples):
+    """Minka's PCA marginal log-evidence for a tested rank (Minka,
+    "Automatic choice of dimensionality for PCA", NIPS 2000, eqs. 27-31),
+    with the sklearn-0.20 ``_assess_dimension_`` conventions the reference
+    pins (reference subspaces.py:12-14,135-154): rank ranges 0..len(spectrum),
+    residual variance v from the tail of the spectrum (v=1, pv=0 when
+    rank == n_features), and pp carries the (m + rank + 1)/2 factor of that
+    era. Degenerate spectra (log of <= 0) yield nan, skipped by nanargmax.
+
+    Host-side numpy on a K<=max_rank spectrum: a scalar double loop of ~K^2
+    iterations run once per subspace build has no business on the MXU.
+    """
+    from scipy.special import gammaln
+
+    spectrum = np.asarray(spectrum, np.float64)
+    k = int(rank)
+    n = float(n_samples)
+    d = float(n_features)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        i = np.arange(1, k + 1, dtype=np.float64)
+        pu = -k * np.log(2.0) + np.sum(
+            gammaln((d - i + 1.0) / 2.0) - np.log(np.pi) * (d - i + 1.0) / 2.0
+        )
+        pl = -n / 2.0 * np.sum(np.log(spectrum[:k]))
+        if k == n_features:
+            v, pv = 1.0, 0.0
+        else:
+            v = np.sum(spectrum[k:]) / (d - k)
+            pv = -np.log(v) * n * (d - k) / 2.0
+        m = d * k - k * (k + 1.0) / 2.0
+        pp = np.log(2.0 * np.pi) * (m + k + 1.0) / 2.0
+
+        spectrum_tail = spectrum.copy()
+        spectrum_tail[k:n_features] = v
+        pa = 0.0
+        for a in range(k):
+            for b in range(a + 1, len(spectrum)):
+                pa += np.log(
+                    (spectrum[a] - spectrum[b])
+                    * (1.0 / spectrum_tail[b] - 1.0 / spectrum_tail[a])
+                ) + np.log(n)
+
+        return float(pu + pl + pv + pp - pa / 2.0 - k * np.log(n) / 2.0)
+
+
 @Subspace.register_subclass("pca")
 class PCASpace(CovarianceSpace):
     def __init__(self, num_parameters, pca_rank=20, max_rank=20):
@@ -101,11 +148,31 @@ class PCASpace(CovarianceSpace):
 
     def get_space(self):
         a = self.cov_mat_sqrt / (max(1, self.rank - 1)) ** 0.5
-        pca_rank = self.rank if self.pca_rank == "mle" else self.pca_rank
-        pca_rank = max(1, min(pca_rank, self.rank))
+        if self.pca_rank == "mle":
+            # Minka-MLE rank selection (reference subspaces.py:135-154):
+            # evidence over the full collected spectrum plus the reference's
+            # BIC-style degrees-of-freedom correction, argmax over ranks.
+            s, sv = _gram_svd(a, self.rank)
+            eigs = np.asarray(s, np.float64) ** 2.0
+            n_rows, n_cols = a.shape  # (K deviation vectors, P parameters)
+            n_feat = min(n_rows, n_cols)
+            n_samp = max(n_rows, n_cols)
+            ll = np.array([
+                minka_log_evidence(eigs, r, n_feat, n_samp)
+                for r in range(len(eigs))
+            ])
+            ranks = np.arange(len(eigs), dtype=np.float64)
+            correction = 0.5 * (
+                n_cols * ranks - ranks * (ranks + 1.0) / 2.0
+            ) * np.log(n_rows)
+            self.ll = ll
+            self.corrected_ll = ll - correction
+            # the reference takes a bare nanargmax (subspaces.py:152); rank 0
+            # would return an empty subspace, so clamp to >= 1
+            self.pca_rank = max(1, int(np.nanargmax(self.corrected_ll)))
+            return sv[: self.pca_rank]
+        pca_rank = max(1, min(self.pca_rank, self.rank))
         _, sv = _gram_svd(a, pca_rank)
-        # (The reference's 'mle' path uses a deprecated sklearn-private Minka
-        # estimator, subspaces.py:135-154; we use the full collected rank.)
         return sv
 
 

@@ -26,6 +26,14 @@ class _Task:
     def update_statistics(self, models, output_performance=False):
         raise NotImplementedError
 
+    def ensemble_update_statistics(self, model_list, *args, **kwargs):
+        """Carried for protocol parity (task_base.py:16 declares it; nothing
+        in the reference ever calls or implements it). Here the plural and
+        singular surfaces coincide: ``update_statistics`` already consumes a
+        whole stacked-pytree Ensemble — delegate, preserving each task's own
+        defaults."""
+        return self.update_statistics(model_list, *args, **kwargs)
+
     def get_performance_metrics(self):
         raise NotImplementedError
 
