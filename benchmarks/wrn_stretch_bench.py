@@ -24,26 +24,42 @@ def run_tpu(steps: int, members: int):
 
     from ursabench_tpu import data, inference, models
     from ursabench_tpu.inference.engine import init_variables
-    from ursabench_tpu.util import softmax_probs, tree_stack
+    from ursabench_tpu.profiling.hw import device_peaks, train_step_cost
+    from ursabench_tpu.util import enable_compilation_cache, softmax_probs, tree_stack
     import jax.numpy as jnp
 
+    enable_compilation_cache()
     batch = 128
     splits, C = data.loaders("CIFAR100", os.environ.get("URSA_DATA", "./data"),
                              batch_size=batch, use_validation=False)
-    module = models.get_model("WideResNet28x10").build(C)
-    sampler = inference.SGHMC(
-        {"lr": 0.01, "prior_std": 1.0, "num_samples": 3, "alpha": 0.1,
-         "burn_in_epochs": 1},
-        model=module, train=splits["train"], key=jax.random.PRNGKey(0),
-    )
-    sampler._run_epoch(True)  # compile
-    jax.block_until_ready(sampler._state.params)
     nb = splits["train"].num_batches
-    t0 = time.perf_counter()
-    sampler._run_epoch(True)
-    jax.block_until_ready(sampler._state.params)
-    steps_per_sec = nb / (time.perf_counter() - t0)
-
+    peak_flops, _ = device_peaks()
+    out = {}
+    for tag, kw in (("", {}), ("_bf16", {"dtype": jnp.bfloat16})):
+        module = models.get_model("WideResNet28x10").build(C, **kw)
+        sampler = inference.SGHMC(
+            {"lr": 0.01, "prior_std": 1.0, "num_samples": 3, "alpha": 0.1,
+             "burn_in_epochs": 1},
+            model=module, train=splits["train"], key=jax.random.PRNGKey(0),
+        )
+        flops_step = train_step_cost(module, (32, 32, 3), batch)["flops"]
+        sampler._run_epoch(True)  # compile
+        jax.block_until_ready(sampler._state.params)
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sampler._run_epoch(True)
+            jax.block_until_ready(sampler._state.params)
+            best = max(best, nb / (time.perf_counter() - t0))
+        out[f"tpu_sghmc_steps_per_sec{tag}"] = best
+        if flops_step is not None:
+            achieved = best * flops_step
+            out[f"tpu_sghmc_tflops{tag}"] = round(achieved / 1e12, 1)
+            if peak_flops:
+                out[f"tpu_sghmc_mfu_pct{tag}"] = round(
+                    achieved / peak_flops * 100, 1
+                )
+    module = models.get_model("WideResNet28x10").build(C)
     keys = jax.random.split(jax.random.PRNGKey(1), members)
     variables = [init_variables(module, k, (32, 32, 3)) for k in keys]
     params = tree_stack([v["params"] for v in variables])
@@ -61,14 +77,12 @@ def run_tpu(steps: int, members: int):
     t0 = time.perf_counter()
     reps = 20
     for _ in range(reps):
-        out = bma(params, bstats, x)
-    out.block_until_ready()
+        res = bma(params, bstats, x)
+    res.block_until_ready()
     images_per_sec = reps * batch / (time.perf_counter() - t0)
-    return {
-        "tpu_sghmc_steps_per_sec": steps_per_sec,
-        "tpu_bma_images_per_sec": images_per_sec,
-        "tpu_device": str(jax.devices()[0]),
-    }
+    out["tpu_bma_images_per_sec"] = images_per_sec
+    out["tpu_device"] = str(jax.devices()[0])
+    return out
 
 
 def run_torch(steps: int, members: int):

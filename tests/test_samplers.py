@@ -139,6 +139,31 @@ def test_subspace_pca_matches_sklearn():
         assert match < 1e-3
 
 
+def test_bf16_compute_metric_parity(tiny):
+    """bf16-compute SGHMC (dtype=jnp.bfloat16, params stay f32) must land at
+    the same posterior quality as fp32 — the fp32/fp16 engine split of the
+    reference's profiling protocol (trtprof/batch_onnx2trt.sh) applied to
+    training."""
+    import jax.numpy as jnp
+
+    splits, C, _ = tiny
+    hyp = {"lr": 0.05, "prior_std": 1.0, "num_samples": 4, "alpha": 0.1,
+           "burn_in_epochs": 3}
+    metrics = {}
+    for tag, kw in (("fp32", {}), ("bf16", {"dtype": jnp.bfloat16})):
+        module = models.get_model("MLP200MNIST").build(C, **kw)
+        s = inference.SGHMC(hyp, model=module, train=splits["train"],
+                            key=jax.random.PRNGKey(3))
+        ens = s.sample()
+        task = tasks.Prediction({"in_distribution_test": splits["test"]}, C,
+                                metric_list=["error_rate", "nll", "ece"])
+        task.update_statistics(ens, output_performance=False)
+        metrics[tag] = task.get_performance_metrics()
+    assert abs(metrics["fp32"]["error_rate"] - metrics["bf16"]["error_rate"]) < 0.05
+    assert abs(metrics["fp32"]["nll"] - metrics["bf16"]["nll"]) < 0.05
+    assert abs(metrics["fp32"]["ece"] - metrics["bf16"]["ece"]) < 0.05
+
+
 def test_minka_mle_rank_selection():
     """pca_rank='mle' (reference subspaces.py:135-154): the evidence formula
     matches sklearn's Minka estimator, and the selected rank recovers the

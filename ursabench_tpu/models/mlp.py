@@ -13,11 +13,12 @@ from ..nn.init import torch_linear_bias_init, torch_linear_kernel_init
 from .common import ModelCfg, register
 
 
-def _dense(features: int, fan_in: int) -> nn.Dense:
+def _dense(features: int, fan_in: int, dtype=None) -> nn.Dense:
     return nn.Dense(
         features,
         kernel_init=torch_linear_kernel_init,
         bias_init=torch_linear_bias_init(fan_in),
+        dtype=dtype,
     )
 
 
@@ -26,18 +27,20 @@ class MLP(nn.Module):
     input_dim: int
     num_classes: int
     dropout: float = 0.0
+    dtype: object = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         x = x.reshape((-1, self.input_dim))
-        x = _dense(self.hidden_size, self.input_dim)(x)
+        x = _dense(self.hidden_size, self.input_dim, d)(x)
         if self.dropout > 0:
             # reference applies dropout *before* relu (mlp.py:39)
             x = nn.Dropout(self.dropout, deterministic=False)(x)
-        x = _dense(self.hidden_size, self.hidden_size)(nn.relu(x))
+        x = _dense(self.hidden_size, self.hidden_size, d)(nn.relu(x))
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=False)(x)
-        x = _dense(self.num_classes, self.hidden_size)(nn.relu(x))
+        x = _dense(self.num_classes, self.hidden_size, d)(nn.relu(x))
         return x
 
 

@@ -90,7 +90,9 @@ def accumulate_split(ensemble: Ensemble, split, smooth_probs: bool):
                     lambda p, b, k: member_logits(p, b, k, x, bi),
                     in_axes=(0, bs_axes, key_axes),
                 )(params, batch_stats, keys)
-                probs = softmax_probs(logits)
+                # bf16-compute models emit bf16 logits; metric accumulation
+                # is always f32
+                probs = softmax_probs(logits.astype(jnp.float32))
                 smoothed = central_smoothing(probs)
                 p_sum = jnp.sum(smoothed if smooth_probs else probs, axis=0)
                 e_sum = jnp.sum(predictive_entropy(smoothed), axis=0)

@@ -78,7 +78,8 @@ class Prediction(_Task):
             logits = models.logits_all(x, bi)
             jnp.asarray(logits).block_until_ready()
             self.latencies.append(time.perf_counter() - t0)
-            p = _sp(logits)
+            # bf16-compute models emit bf16 logits; metrics are always f32
+            p = _sp(jnp.asarray(logits).astype(jnp.float32))
             probs_chunks.append(np.asarray(jnp.sum(p, axis=0)))
             ent_chunks.append(np.asarray(jnp.sum(_pe(_cs(p)), axis=0)))
         return np.concatenate(probs_chunks), np.concatenate(ent_chunks)
