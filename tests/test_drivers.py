@@ -43,6 +43,38 @@ def test_experiment_test_mode(tmp_path):
     assert (tmp_path / "out_tests.npz").exists()
 
 
+def test_experiment_chains_use_both_mesh_axes(tmp_path):
+    """--chains N with --mesh auto must reach the production ('chain','data')
+    sharded epoch program: chain states over 'chain', batch over 'data'."""
+    import jax
+
+    from ursabench_tpu.experiment import _build_mesh, _make_sampler, build_parser
+
+    args = build_parser().parse_args([
+        "--dataset", "MNIST", "--model", "MLP200MNIST",
+        "--inference_method", "SGHMC", "--chains", "2", "--batch_size", "32",
+    ])
+    mesh = _build_mesh(args)
+    assert mesh.shape == {"chain": 2, "data": 4}
+
+    from ursabench_tpu import data, models
+
+    splits, C = data.loaders("MNIST", None, batch_size=32,
+                             use_validation=False, synthetic_n_train=64,
+                             synthetic_n_test=32)
+    module = models.get_model("MLP200MNIST").build(C)
+    sampler = _make_sampler(
+        args, {"lr": 0.03, "prior_std": 1.0, "num_samples": 1,
+               "burn_in_epochs": 0, "alpha": 0.1},
+        module, splits["train"], seed=0,
+    )
+    assert sampler.mesh is mesh
+    ens = sampler.sample()
+    assert ens.num_members == 2
+    leaf = jax.tree.leaves(sampler._state.params)[0]
+    assert len(leaf.sharding.device_set) == 8  # both axes in play
+
+
 def test_time_script(tmp_path):
     from ursabench_tpu.time_script import main
 

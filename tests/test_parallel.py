@@ -43,6 +43,108 @@ def test_make_mesh_two_axes():
     assert mesh.shape["chain"] * mesh.shape["data"] == 8
 
 
+def test_sharded_epoch_matches_single_device():
+    """The production ('chain','data') SGHMC epoch program (mesh= on the
+    sampler) must reproduce the single-device multi-chain epoch exactly:
+    same per-chain key streams, psum-mean grads == global-mean grads,
+    identical noise. MNIST/MLP has no augmentation/dropout, so the only
+    divergence budget is float reduction order."""
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=128, synthetic_n_test=64,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    hyp = {"lr": 0.03, "prior_std": 1.0, "num_samples": 2, "alpha": 0.1,
+           "burn_in_epochs": 0}
+    mesh = make_mesh(8)  # ('chain': 2, 'data': 4)
+    assert mesh.shape["data"] > 1
+
+    def run(mesh_arg):
+        s = inference.SGHMC(hyp, model=module, train=splits["train"],
+                            key=jax.random.PRNGKey(5), chains=2, mesh=mesh_arg)
+        for _ in range(2):
+            s._run_epoch(noise_on=True)
+        return s
+
+    sharded = run(mesh)
+    single = run(None)
+    # sharded state spans all 8 devices
+    leaf = jax.tree.leaves(sharded._state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    for a, b in zip(jax.tree.leaves(sharded._state.params),
+                    jax.tree.leaves(single._state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_epoch_update_hyp_no_recompile():
+    """The _hyp_scalars invariant extends to the multi-chip path: update_hyp
+    on a mesh-sharded sampler reuses the compiled shard_map program."""
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=64, synthetic_n_test=32,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    mesh = make_mesh(8)
+    s = inference.SGHMC(
+        {"lr": 0.03, "prior_std": 1.0, "num_samples": 1, "burn_in_epochs": 0,
+         "alpha": 0.1},
+        model=module, train=splits["train"], key=jax.random.PRNGKey(0),
+        chains=2, mesh=mesh,
+    )
+    fn_before = s._epoch_fn
+    s.sample()
+    n_compiles = fn_before._cache_size()
+    s.update_hyp({"lr": 0.1, "prior_std": 0.5, "num_samples": 1,
+                  "burn_in_epochs": 0, "alpha": 0.2})
+    assert s._epoch_fn is fn_before
+    s.sample()
+    assert fn_before._cache_size() == n_compiles
+
+
+def test_data_parallel_single_chain():
+    """chains=1 with a (1, n) mesh: pure data parallelism over the batch."""
+    from jax.sharding import Mesh
+
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=128, synthetic_n_test=64,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, 8), ("chain", "data"))
+
+    def run(mesh_arg):
+        s = inference.SGHMC(
+            {"lr": 0.03, "prior_std": 1.0, "num_samples": 1,
+             "burn_in_epochs": 1, "alpha": 0.1},
+            model=module, train=splits["train"], key=jax.random.PRNGKey(2),
+            chains=1, mesh=mesh_arg,
+        )
+        s._run_epoch(noise_on=True)
+        return s
+
+    sharded, single = run(mesh), run(None)
+    for a, b in zip(jax.tree.leaves(sharded._state.params),
+                    jax.tree.leaves(single._state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_auto_mesh_layouts():
+    from ursabench_tpu.parallel import auto_mesh
+
+    m = auto_mesh(4)
+    assert m.shape == {"chain": 4, "data": 2}
+    m = auto_mesh(2, batch_size=128)
+    assert m.shape == {"chain": 2, "data": 4}
+    m = auto_mesh(1)
+    assert m.shape == {"chain": 1, "data": 8}
+    # batch not divisible by the leftover axis -> data axis shrinks
+    m = auto_mesh(2, batch_size=33)
+    assert m.shape == {"chain": 2, "data": 3}
+    assert auto_mesh(3, n_devices=1) is None
+
+
 def test_sharded_step_matches_single_device():
     """The ('chain','data') shard_map step must produce the same update as
     an unsharded reference computation (psum-mean grads == global mean)."""

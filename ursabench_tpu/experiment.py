@@ -49,6 +49,12 @@ def build_parser():
     p.add_argument("--device_num", type=int, default=0)  # parity; XLA places
     p.add_argument("--pretrained_model_path", type=str, default=None)
     p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--mesh", type=str, default="auto",
+                   choices=("auto", "chain", "none"),
+                   help="device layout: 'auto' = ('chain','data') mesh over "
+                        "all devices (chains sharded, remaining devices do "
+                        "data parallelism), 'chain' = chain axis only, "
+                        "'none' = single device")
     p.add_argument("--checkpoint_path", type=str, default=None,
                    help="auto-checkpoint the sampler chain here and resume "
                         "from it if present")
@@ -84,11 +90,30 @@ def _load_pretrained(sampler, pretrained):
     sampler._state = replaced
 
 
+def _build_mesh(args):
+    """Resolve the --mesh flag to a device mesh (None on one device)."""
+    from .parallel import auto_mesh, chain_mesh
+
+    if getattr(args, "mesh", "auto") == "none":
+        return None
+    if args.mesh == "chain":
+        if args.chains > 1 and len(jax.devices()) > 1:
+            return chain_mesh(args.chains)
+        return None
+    return auto_mesh(args.chains, batch_size=args.batch_size)
+
+
 def _make_sampler(args, hyp, module, train_split, seed):
+    import inspect
+
     method = inference.get_inference(args.inference_method)
+    kwargs = {}
+    mesh = _build_mesh(args)
+    if mesh is not None and "mesh" in inspect.signature(method.__init__).parameters:
+        kwargs["mesh"] = mesh
     sampler = method(
         hyperparameters=hyp, model=module, train=train_split,
-        key=jax.random.PRNGKey(seed), chains=args.chains,
+        key=jax.random.PRNGKey(seed), chains=args.chains, **kwargs,
     )
     if args.checkpoint_path:
         resumed = sampler.enable_auto_checkpoint(

@@ -57,6 +57,7 @@ def make_epoch_fn(
     update_fn: UpdateFn,
     use_augment: bool = True,
     chains: int = 1,
+    mesh=None,
 ):
     """Build ``epoch_fn(state, epoch, noise_on, hyp) -> (state, mean_loss)``:
     one full shuffled epoch as a single jitted scan, with all continuous
@@ -64,7 +65,19 @@ def make_epoch_fn(
     per sampler instance; hyperopt sweeps pay zero recompiles). With
     ``chains > 1`` the state carries a leading chain axis and the whole
     epoch program is vmapped — independent MCMC chains advance in one
-    device program."""
+    device program.
+
+    With a ('chain', 'data') ``mesh`` whose data axis is >1, the SAME epoch
+    protocol becomes a shard_map program: chain states sharded over 'chain',
+    each global minibatch computed shard-wise over 'data' with one psum for
+    the exact global-mean gradient (the production multi-chip path — the
+    traced-hyp contract is identical, so update_hyp never recompiles here
+    either)."""
+    if (mesh is not None and "data" in mesh.shape and mesh.shape["data"] > 1):
+        return _make_sharded_epoch_fn(
+            module, split, lr_fn=lr_fn, update_fn=update_fn,
+            use_augment=use_augment, chains=chains, mesh=mesh,
+        )
     images, labels = split.device_arrays()
     spec = split.spec
     n = split.n
@@ -126,6 +139,127 @@ def make_epoch_fn(
     fn = (epoch_impl if chains == 1
           else jax.vmap(epoch_impl, in_axes=(0, None, None, None)))
     return jax.jit(fn, donate_argnums=(0,))
+
+
+def _make_sharded_epoch_fn(
+    module,
+    split: DataSplit,
+    *,
+    lr_fn: LrFn,
+    update_fn: UpdateFn,
+    use_augment: bool,
+    chains: int,
+    mesh,
+):
+    """('chain', 'data')-sharded variant of the epoch program (multi-chip
+    SGHMC as a first-class sampler mode, not a demo step).
+
+    Semantics match the single-device epoch exactly: per-chain permutation
+    streams (the permutation key is chain state, identical across a chain's
+    data shards, so every shard sees the same batch plan), global-mean
+    gradients via one psum over 'data', identical noise keys across shards
+    (the update stays replicated within a chain row), per-shard dropout /
+    augmentation randomness (different samples get different masks). BN
+    batch stats are pmean'd over 'data' so each chain carries whole-batch
+    statistics. The reference has no counterpart (SURVEY.md §2.9: no
+    distributed layer at all); collectives are XLA-generated from shard_map.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    images, labels = split.device_arrays()
+    spec = split.spec
+    n = split.n
+    bsz = split.batch_size
+    nb = -(-n // bsz)
+    pad = nb * bsz - n
+    chain_shards = mesh.shape["chain"]
+    data_shards = mesh.shape["data"]
+    assert chains % chain_shards == 0, (chains, chain_shards)
+    assert bsz % data_shards == 0, (bsz, data_shards)
+    local_bsz = bsz // data_shards
+
+    def loss_fn(params, batch_stats, x, y, dropout_key):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits, mutated = module.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        # sum + shard count: the psum'd pair reconstructs the global mean
+        return ce.sum(), mutated.get("batch_stats", {})
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    n_global = float(bsz)
+
+    def local_epoch(state: TrainState, epoch, noise_on, hyp):
+        data_idx = jax.lax.axis_index("data")
+
+        def one_chain(st: TrainState):
+            key, k_perm, k_aug, k_noise, k_drop = jax.random.split(st.key, 5)
+            perm = jax.random.permutation(k_perm, n)
+            if pad:
+                perm = jnp.concatenate([perm, perm[:pad]])
+            batch_idx = perm.reshape(nb, bsz)
+
+            def body(carry, inp):
+                params, mom, bstats, step = carry
+                bi, idx = inp
+                idx_local = jax.lax.dynamic_slice(
+                    idx, (data_idx * local_bsz,), (local_bsz,)
+                )
+                x = jnp.take(images, idx_local, axis=0)
+                y = jnp.take(labels, idx_local, axis=0)
+                x = normalize(x, spec)
+                if use_augment and (spec.random_crop_pad or spec.random_flip):
+                    # different samples on each shard -> per-shard aug stream
+                    x = augment_normalized(
+                        jax.random.fold_in(jax.random.fold_in(k_aug, bi), data_idx),
+                        x, spec,
+                    )
+                (loss_sum, new_bstats), grads = grad_fn(
+                    params, bstats, x, y,
+                    jax.random.fold_in(jax.random.fold_in(k_drop, bi), data_idx),
+                )
+                grads = jax.tree.map(
+                    lambda g: jax.lax.psum(g, "data") / n_global, grads
+                )
+                loss = jax.lax.psum(loss_sum, "data") / n_global
+                if new_bstats:
+                    new_bstats = jax.tree.map(
+                        lambda s: jax.lax.pmean(s, "data"), new_bstats
+                    )
+                else:
+                    new_bstats = bstats
+                lr = lr_fn(hyp, epoch, bi, step)
+                params, mom = update_fn(
+                    params, mom, grads, hyp,
+                    lr=lr, noise_on=noise_on,
+                    is_first_step=(step == 0),
+                    key=jax.random.fold_in(k_noise, bi),
+                )
+                return (params, mom, new_bstats, step + 1), loss
+
+            init = (st.params, st.momentum, st.batch_stats, st.step)
+            (params, mom, bstats, step), losses = jax.lax.scan(
+                body, init, (jnp.arange(nb), batch_idx)
+            )
+            return TrainState(params, mom, bstats, key, step), losses.mean()
+
+        if chains == 1:  # pure data parallelism: unstacked, replicated state
+            return one_chain(state)
+        return jax.vmap(one_chain)(state)
+
+    state_spec = P("chain") if chains > 1 else P()
+    sharded = jax.shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=(state_spec, P(), P(), P()),
+        out_specs=(state_spec, state_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,

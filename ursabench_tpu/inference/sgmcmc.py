@@ -121,6 +121,7 @@ class SGHMC(_Inference):
             self._epoch_fn = make_epoch_fn(
                 self.module, self.train, lr_fn=_cosine_hyp_lr,
                 update_fn=_sghmc_hyp_update, chains=self.chains,
+                mesh=self.mesh,
             )
         self._state = self._init_state()
 
@@ -269,6 +270,7 @@ class cSGHMC(_Inference):
             self._epoch_fn = make_epoch_fn(
                 self.module, self.train, lr_fn=_cyclic_hyp_lr,
                 update_fn=_sghmc_hyp_update, chains=self.chains,
+                mesh=self.mesh,
             )
         self._state = SGHMC._init_state(self)
 

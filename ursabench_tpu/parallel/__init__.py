@@ -1,7 +1,7 @@
-from .distributed import chain_mesh, initialize
+from .distributed import auto_mesh, chain_mesh, initialize
 from .mesh import make_mesh, sharded_sghmc_step, shard_ensemble_eval
 
 __all__ = [
     "make_mesh", "sharded_sghmc_step", "shard_ensemble_eval",
-    "chain_mesh", "initialize",
+    "auto_mesh", "chain_mesh", "initialize",
 ]

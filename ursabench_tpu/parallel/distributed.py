@@ -29,6 +29,32 @@ def initialize(coordinator_address: Optional[str] = None,
     )
 
 
+def auto_mesh(chains: int, batch_size: Optional[int] = None,
+              n_devices: Optional[int] = None) -> Optional[Mesh]:
+    """('chain', 'data') mesh over the available devices for a given chain
+    count: the chain axis is the largest device divisor that also divides
+    ``chains``; the remaining devices become data parallelism (shrunk to
+    divide ``batch_size`` when given). None on a single device — the
+    single-chip epoch program needs no mesh."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n <= 1:
+        return None
+    cd = 1
+    for d in range(min(chains, n), 0, -1):
+        if n % d == 0 and chains % d == 0:
+            cd = d
+            break
+    dd = n // cd
+    if batch_size is not None:
+        while dd > 1 and batch_size % dd:
+            dd -= 1
+    arr = np.asarray(devices[: cd * dd]).reshape(cd, dd)
+    return Mesh(arr, ("chain", "data"))
+
+
 def chain_mesh(chains: int, n_devices: Optional[int] = None) -> Mesh:
     """1-D mesh over min(chains, devices) for chain-sharded sampling: pass
     to a sampler's ``mesh=`` with ``chains=`` a multiple of the mesh size."""
