@@ -96,8 +96,27 @@ def test_pca_subspace_sampler(tiny):
     )
     ens = s.sample()
     assert ens.num_members == 3
-    # successive thetas move (ESS accepted something across draws)
-    assert s.current_theta.shape[0] == s.subspace.rank
+    # theta state is (chains, subspace rank)
+    assert s.current_theta.shape == (1, s.subspace.rank)
+
+
+def test_pca_subspace_multichain(tiny):
+    """PCASubspaceSampler(chains=C): one shared phase-1 subspace, C
+    independent vmapped ESS streams -> C members per draw."""
+    splits, C, module = tiny
+    hyp = {"swag_lr": 0.01, "swag_wd": 1e-4, "lr_init": 0.05, "num_samples": 2,
+           "swag_momentum": 0.9, "swag_burn_in_epochs": 1, "num_swag_iterates": 4,
+           "rank": 2, "max_rank": 4, "temperature": 100.0, "prior_std": 1.0}
+    s = inference.PCASubspaceSampler(
+        hyp, model=module, train=splits["train"], key=jax.random.PRNGKey(6),
+        chains=3,
+    )
+    ens = s.sample()
+    assert ens.num_members == 6  # 2 draws x 3 chains
+    assert s.current_theta.shape == (3, s.subspace.rank)
+    # chains explore distinct subspace coordinates
+    t = np.asarray(s.current_theta)
+    assert not np.allclose(t[0], t[1])
 
 
 def test_hmc(tiny):
@@ -115,6 +134,29 @@ def test_hmc(tiny):
     s2 = inference.HMC({**hyp, "burn": -1}, model=module, train=splits["train"],
                        key=jax.random.PRNGKey(7))
     assert s2.sample().num_members == 1
+
+
+def test_hmc_multichain(tiny):
+    """HMC(chains=C) vmaps the transition over independent chains: a C-times
+    ensemble, per-chain distinct states, acceptance preserved."""
+    splits, C, module = tiny
+    hyp = {"step_size": 5e-4, "num_samples": 5, "L": 2, "tau": 1.0,
+           "burn": 1, "mass": 1.0, "draw_chunk": 3}
+    s = inference.HMC(hyp, model=module, train=splits["train"],
+                      key=jax.random.PRNGKey(9), chains=4)
+    ens = s.sample()
+    # chain incl. initial point: 6 draws/chain, keep [1:] -> 5 x 4 chains
+    assert ens.num_members == 20
+    assert 0.0 <= s.accept_rate <= 1.0
+    p = jax.tree.leaves(ens.params)[0]
+    # chains started from independent inits -> distinct members within a draw
+    assert not np.allclose(np.asarray(p[0]), np.asarray(p[1]))
+
+    # burn=-1 multi-chain keeps the last draw of each chain
+    s2 = inference.HMC({**hyp, "burn": -1}, model=module,
+                       train=splits["train"], key=jax.random.PRNGKey(10),
+                       chains=2)
+    assert s2.sample().num_members == 2
 
 
 def test_subspace_pca_matches_sklearn():

@@ -8,9 +8,13 @@ trajectory (hmc.py:80) — equivalent to keeping ``chain[burn:]`` of the
 per-draw chain including the initial point (negative burn keeps the last
 ``-burn`` draws, the time_script.py:83 burn=-1 protocol).
 
-TPU-native: the ENTIRE chain is one jitted program — lax.scan over draws,
-lax.scan over the L leapfrog steps inside, and the full-batch gradient as a
-scan over device-resident data. log-target:
+TPU-native: draws advance as a jitted lax.scan over chunks of transitions
+(hyp 'draw_chunk', default 10 — one dispatch per chunk instead of one
+Python round-trip per draw), the L leapfrog steps are an inner scan, and
+the full-batch gradient is a scan over device-resident data. Multiple
+chains (the reference is single-chain, hmc.py:71) advance under one vmap
+with per-chain PRNG streams and, when a mesh is given, shard over its
+'chain' axis via GSPMD. log-target:
     log p(theta) = -tau_out * CE_sum(data; theta) - 0.5 * tau * ||theta||^2
 """
 
@@ -33,8 +37,10 @@ class HMC(_Inference):
     }
 
     def __init__(self, hyperparameters, model=None, train=None,
-                 model_loss="multi_class_linear_output", key=None, chains=1):
-        super().__init__(hyperparameters, model, train, model_loss, key, chains)
+                 model_loss="multi_class_linear_output", key=None, chains=1,
+                 mesh=None):
+        super().__init__(hyperparameters, model, train, model_loss, key,
+                         chains, mesh)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters)
@@ -47,17 +53,37 @@ class HMC(_Inference):
         self.tau = float(hyp["tau"])
         self.burn = int(hyp["burn"])
         self.mass = float(hyp["mass"])
+        self.draw_chunk = int(hyp.get("draw_chunk", 10))
         variables = self.fresh_variables()
         self._params0 = variables["params"]
         self._bstats = variables.get("batch_stats", {})
         self._unravel = unraveler(self._params0)
-        self._theta0 = ravel(self._params0)
-        self._chain_fn = None
+        theta0 = ravel(self._params0)
+        if self.chains > 1:
+            # independent per-chain inits (chain 0 keeps the ctor's init)
+            extra = [
+                ravel(self.fresh_variables()["params"])
+                for _ in range(self.chains - 1)
+            ]
+            theta0 = jnp.stack([theta0] + extra)
+        else:
+            theta0 = theta0[None]
+        self._theta0 = self._place_chains(theta0)
+        self._chunk_fn = None
+
+    def _place_chains(self, arr):
+        """Shard a chains-leading array over the mesh 'chain' axis (GSPMD
+        partitions every jitted chain program with no code changes)."""
+        if self.mesh is None or self.chains <= 1:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P("chain")))
 
     def update_hyp(self, hyp):
         self._setup(hyp)
 
-    def _build_chain_fn(self):
+    def _build_fns(self):
         images, labels = self.train.device_arrays()
         spec = self.train.spec
         n = self.train.n
@@ -72,7 +98,7 @@ class HMC(_Inference):
         bstats = self._bstats
         tau, tau_out = self.tau, 1.0
         inv_mass = 1.0 / self.mass
-        eps, L, num_samples = self.step_size, self.L, self.num_samples
+        eps, L = self.step_size, self.L
 
         idx = jnp.arange(n)
         if pad:
@@ -101,12 +127,8 @@ class HMC(_Inference):
 
         grad_u = jax.grad(neg_log_post)
 
-        del num_samples
-
-        @jax.jit
         def draw(theta, u_cur, key):
-            """One HMC transition, compiled once and dispatched per draw —
-            avoids the deeply nested scan-of-scan-of-scan compile cost."""
+            """One HMC transition for one chain."""
             k_mom, k_acc = jax.random.split(key)
             # momentum ~ N(0, M) with M = mass * I; kinetic = 0.5 p^T M^-1 p
             p0 = jax.random.normal(k_mom, theta.shape) * jnp.sqrt(self.mass)
@@ -134,35 +156,56 @@ class HMC(_Inference):
             u_cur = jnp.where(accept, u_new, u_cur)
             return theta, u_cur, accept
 
-        neg_log_post_jit = jax.jit(neg_log_post)
+        @jax.jit
+        def chunk(theta, u, keys):
+            """A lax.scan over draw transitions, all chains vmapped:
+            theta (C, P), u (C,), keys (k, C, 2) -> trajectory (k, C, P)."""
 
-        def chain(theta0, key, n_draws):
-            u = neg_log_post_jit(theta0)
-            theta = theta0
-            thetas, accepts = [theta0], []
-            for k in jax.random.split(key, n_draws):
-                theta, u, acc = draw(theta, u, k)
-                thetas.append(theta)
-                accepts.append(acc)
-            return jnp.stack(thetas), jnp.stack(accepts)
+            def body(carry, ks):
+                th, uu = carry
+                th, uu, acc = jax.vmap(draw)(th, uu, ks)
+                return (th, uu), (th, acc)
 
-        return chain
+            (theta, u), (thetas, accepts) = jax.lax.scan(body, (theta, u), keys)
+            return theta, u, thetas, accepts
+
+        return jax.jit(jax.vmap(neg_log_post)), chunk
 
     def sample(self, num_samples=None, debug=False) -> Ensemble:
-        if self._chain_fn is None:
-            self._chain_fn = self._build_chain_fn()
+        if self._chunk_fn is None:
+            self._nlp_fn, self._chunk_fn = self._build_fns()
         if num_samples is None:
             num_samples = self.num_samples
-        chain, accepts = self._chain_fn(self._theta0, self.next_key(), num_samples)
-        if debug:
-            print("HMC acceptance rate:", float(jnp.mean(accepts)))
+        C = self.chains
+        theta = self._theta0
+        u = self._nlp_fn(theta)
+        trajectory = [theta]
+        accepts = []
+        left = num_samples
+        key = self.next_key()
+        while left > 0:
+            k = min(self.draw_chunk, left)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, k * C).reshape(k, C, 2)
+            theta, u, thetas, accs = self._chunk_fn(theta, u, keys)
+            trajectory.append(thetas)
+            accepts.append(accs)
+            left -= k
+        chain = jnp.concatenate(
+            [trajectory[0][None]] + trajectory[1:], axis=0
+        )  # (1 + num_samples, C, P)
+        accepts = jnp.concatenate(accepts, axis=0)
         self.accept_rate = float(jnp.mean(accepts))
+        if debug:
+            print("HMC acceptance rate:", self.accept_rate)
         kept = chain[self.burn:]  # python slice semantics incl. negative burn
-        params = tree_stack([self._unravel(kept[i]) for i in range(kept.shape[0])])
+        n_kept = int(kept.shape[0])
+        flat = kept.reshape(n_kept * C, -1)  # draw-major, chains within draw
+        params = tree_stack([self._unravel(flat[i]) for i in range(flat.shape[0])])
         bstats = None
         if self._bstats:
             bstats = jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (kept.shape[0],) + x.shape),
+                lambda x: jnp.broadcast_to(x, (flat.shape[0],) + x.shape),
                 self._bstats,
             )
-        return Ensemble(self.module, params, bstats, int(kept.shape[0]))
+        return Ensemble(self.module, params, bstats, int(flat.shape[0]))

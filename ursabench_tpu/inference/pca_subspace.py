@@ -35,8 +35,10 @@ class PCASubspaceSampler(_Inference):
     }
 
     def __init__(self, hyperparameters, model=None, train=None,
-                 model_loss="multi_class_linear_output", key=None, chains=1):
-        super().__init__(hyperparameters, model, train, model_loss, key, 1)
+                 model_loss="multi_class_linear_output", key=None, chains=1,
+                 mesh=None):
+        super().__init__(hyperparameters, model, train, model_loss, key,
+                         chains, mesh)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters)
@@ -117,55 +119,72 @@ class PCASubspaceSampler(_Inference):
 
         # jit the WHOLE ESS transition (bracket while_loop + every full-data
         # log-density evaluation) once — calling elliptical_slice with a
-        # merely-jitted lnpdf re-traces the loop on every draw
+        # merely-jitted lnpdf re-traces the loop on every draw. Chains are a
+        # leading vmap axis with per-chain keys (the while_loop batches:
+        # all chains advance until every bracket closes).
         transition = jax.jit(
-            lambda key, theta, prior, cur: elliptical_slice(
-                key, theta, prior, lnpdf, cur_lnpdf=cur
+            jax.vmap(
+                lambda key, theta, prior, cur: elliptical_slice(
+                    key, theta, prior, lnpdf, cur_lnpdf=cur
+                )
             )
         )
-        return jax.jit(lnpdf), transition
+        return jax.jit(jax.vmap(lnpdf)), transition
 
     # -- sampling ---------------------------------------------------------------
 
     def sample_iterative(self, update_bn=True, val_loader=None, debug_val_loss=False):
+        """One ESS draw per chain. The subspace (phase 1) is shared across
+        chains; each chain is an independent ESS stream in it (per-chain
+        theta/lnpdf state and keys). chains==1 returns unstacked pytrees
+        (the SGHMC convention), multi-chain returns a leading chain axis."""
+        C = self.chains
         if not self.subspace_constructed:
             self.swa.sample()  # phase 1 (pca_subspace.py:111-113)
             mean, _, cov_factor = self.swa.get_space()
             self.subspace = SubspaceModel(mean, cov_factor)
             self._lnpdf_jit, self._ess_transition = self._build_lnpdf()
-            self.current_theta = jnp.zeros(self.rank)
+            self.current_theta = jnp.zeros((C, self.subspace.rank))
             self.subspace_constructed = True
         k_prior, k_ess = jax.random.split(self.next_key())
         actual_rank = self.subspace.rank
-        prior_sample = self.prior_std * jax.random.normal(k_prior, (actual_rank,))
-        theta = self.current_theta[:actual_rank]
+        prior_sample = self.prior_std * jax.random.normal(
+            k_prior, (C, actual_rank)
+        )
+        theta = self.current_theta[:, :actual_rank]
         if self.current_lnpdf is None:
             self.current_lnpdf = self._lnpdf_jit(theta)
         theta, lnp = self._ess_transition(
-            k_ess, theta, prior_sample, self.current_lnpdf
+            jax.random.split(k_ess, C), theta, prior_sample, self.current_lnpdf
         )
         self.current_theta = theta
         self.current_lnpdf = lnp
-        w = self.subspace(theta)
-        params = self.swa._unravel(w)
-        bstats = self.swa._state.batch_stats
-        if update_bn and bstats:
-            bstats = self.swa._bn_refresh(params, bstats)
-        else:
-            bstats = jax.tree.map(lambda x: x.copy(), bstats)
-        return params, bstats
+        ws = jax.vmap(self.subspace)(theta)  # (C, P)
+        base_bstats = self.swa._state.batch_stats
+
+        def member(c):
+            params = self.swa._unravel(ws[c])
+            if update_bn and base_bstats:
+                bstats = self.swa._bn_refresh(params, base_bstats)
+            else:
+                bstats = jax.tree.map(lambda x: x.copy(), base_bstats)
+            return params, bstats
+
+        members = [member(c) for c in range(C)]
+        if C == 1:
+            return members[0]
+        from ..util import tree_stack
+
+        return (tree_stack([m[0] for m in members]),
+                tree_stack([m[1] for m in members]))
 
     def sample(self, num_samples=None, val_loader=None, debug_val_loss=False) -> Ensemble:
+        from .sgmcmc import SGHMC
+
         if num_samples is None:
             num_samples = self.num_samples
         draws = [
             self.sample_iterative(update_bn=(i == num_samples - 1))
             for i in range(num_samples)
         ]
-        from ..util import tree_stack
-
-        params = tree_stack([d[0] for d in draws])
-        bstats = tree_stack([d[1] for d in draws])
-        has_bn = bool(jax.tree.leaves(bstats))
-        return Ensemble(self.module, params, bstats if has_bn else None,
-                        num_samples)
+        return SGHMC._ensemble_from_draws(self, draws)
