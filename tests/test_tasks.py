@@ -63,6 +63,41 @@ def test_decision_cost_formula():
     assert decision_cost(d, y, cm) == pytest.approx(100.1)
 
 
+def test_latency_mode_metric_equivalence(small_ensemble):
+    """latency_mode accumulates through a per-batch host loop
+    (prediction.py _accumulate_timed) while the fast path is one jitted
+    scan (accumulate_split) — the two implementations must produce the
+    same metrics, or a drift would go unnoticed."""
+    from ursabench_tpu.tasks.base import accumulate_split
+
+    splits, C, _, ens = small_ensemble
+    fast = tasks.Prediction({"in_distribution_test": splits["test"]}, C,
+                            metric_list="ALL")
+    timed = tasks.Prediction({"in_distribution_test": splits["test"]}, C,
+                             metric_list="ALL", latency_mode=True)
+    # the two accumulator implementations agree to float noise
+    p_fast, e_fast = accumulate_split(ens, splits["test"], smooth_probs=False)
+    p_timed, e_timed = timed._accumulate_timed(ens)
+    np.testing.assert_allclose(p_fast, p_timed, atol=1e-5)
+    np.testing.assert_allclose(e_fast, e_timed, atol=1e-5)
+    timed.latencies.clear()
+
+    fast.update_statistics(ens, output_performance=False)
+    timed.update_statistics(ens, output_performance=False)
+    m_fast = fast.get_performance_metrics()
+    m_timed = timed.get_performance_metrics()
+    assert len(timed.latencies) == -(-splits["test"].n // splits["test"].batch_size)
+    for k, v in m_fast.items():
+        # rank metrics flip ties under 1e-7 prob noise on the tiny fixture;
+        # a structural drift (e.g. smoothing applied differently) moves them
+        # by far more than 0.05
+        tol = 0.05 if k.endswith(("auroc", "aucpr")) else 1e-5
+        if np.isnan(v):
+            assert np.isnan(m_timed[k]), k
+        else:
+            assert abs(v - m_timed[k]) < tol, (k, v, m_timed[k])
+
+
 def test_distilled_tasks(small_ensemble):
     import flax.linen as nn
     import jax

@@ -67,6 +67,12 @@ def sharded_sghmc_step(
 ):
     """Build a pjit-ed multi-chip SGHMC training step.
 
+    NOTE: the PRODUCTION multi-chip training path is the mesh-sharded epoch
+    program (`inference.engine.make_epoch_fn(mesh=...)`, reached via
+    ``SGHMC(..., mesh=...)`` / ``experiment.py --mesh``), which carries the
+    traced-hyp no-recompile contract. This standalone single-step builder
+    (static hypers) remains as a minimal building block / teaching example.
+
     Layout: chain-parallel sampler states x data-parallel batch. Returns
     ``step(states, batch_x_uint8, batch_y, noise_on) -> states`` plus the
     shardings needed to place inputs. Inside the shard_map the local chain
