@@ -43,6 +43,22 @@ def test_experiment_test_mode(tmp_path):
     assert (tmp_path / "out_tests.npz").exists()
 
 
+def test_experiment_bf16_dtype(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ursabench_tpu.experiment import main
+
+    perf = main([
+        "--dataset", "MNIST", "--model", "MLP200MNIST",
+        "--inference_method", "SGLD", "--task", "Prediction", "--use_val",
+        "--batch_size", "32", "--seed", "0", "--dtype", "bf16",
+        "--hyperparams",
+        json.dumps({"lr": 0.03, "prior_std": 1.0, "num_samples": 2,
+                    "burn_in_epochs": 1}),
+        "--synthetic_n_train", "160", "--synthetic_n_test", "64",
+    ])
+    assert "error_rate" in perf and np.isfinite(perf["error_rate"])
+
+
 def test_experiment_chains_use_both_mesh_axes(tmp_path):
     """--chains N with --mesh auto must reach the production ('chain','data')
     sharded epoch program: chain states over 'chain', batch over 'data'."""

@@ -49,6 +49,11 @@ def build_parser():
     p.add_argument("--device_num", type=int, default=0)  # parity; XLA places
     p.add_argument("--pretrained_model_path", type=str, default=None)
     p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--dtype", type=str, default="fp32",
+                   choices=("fp32", "bf16"),
+                   help="model compute dtype (params/metrics stay f32; the "
+                        "fp32/fp16 engine split of the reference's profiling "
+                        "protocol applied to training)")
     p.add_argument("--mesh", type=str, default="auto",
                    choices=("auto", "chain", "none"),
                    help="device layout: 'auto' = ('chain','data') mesh over "
@@ -156,7 +161,12 @@ def main(argv=None):
     )
     train_split, test_split = loaders["train"], loaders["test"]
     num_classes = int(num_classes)
-    module = cfg.build(num_classes)
+    build_kw = {}
+    if args.dtype == "bf16":
+        import jax.numpy as jnp
+
+        build_kw["dtype"] = jnp.bfloat16
+    module = cfg.build(num_classes, **build_kw)
     if args.pretrained_model_path is not None:
         from .utils_checkpoint import load_variables
 

@@ -12,6 +12,7 @@ from .common import ModelCfg, register
 
 class LeNet5(nn.Module):
     num_classes: int = 10
+    dtype: object = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -20,6 +21,7 @@ class LeNet5(nn.Module):
                 features, (5, 5), padding="VALID",
                 kernel_init=torch_linear_kernel_init,
                 bias_init=torch_linear_bias_init(fan_in),
+                dtype=self.dtype,
             )
 
         def dense(features, fan_in):
@@ -27,6 +29,7 @@ class LeNet5(nn.Module):
                 features,
                 kernel_init=torch_linear_kernel_init,
                 bias_init=torch_linear_bias_init(fan_in),
+                dtype=self.dtype,
             )
 
         # pad 28x28 -> 32x32 as classic LeNet expects
@@ -44,7 +47,7 @@ class LeNet5(nn.Module):
 LeNet5MNIST = register(
     ModelCfg(
         name="LeNet5MNIST",
-        make=lambda num_classes, **kw: LeNet5(num_classes=num_classes),
+        make=lambda num_classes, **kw: LeNet5(num_classes=num_classes, **kw),
         transform_train=MNIST_TRAIN,
         transform_test=MNIST_TEST,
     )
