@@ -20,9 +20,17 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 EPOCHS_PER_REP = 4
 REPS = 3
+
+
+def device_sync(tree):
+    """Host-fetch a scalar that depends on the computation. On remote device
+    tunnels block_until_ready can return before execution finishes; fetching
+    an execution's output is the reliable sync."""
+    return np.asarray(jnp.sum(jax.tree.leaves(tree)[0]))
 
 
 def _sghmc_throughput(module, train, reps=REPS, epochs=EPOCHS_PER_REP):
@@ -39,14 +47,14 @@ def _sghmc_throughput(module, train, reps=REPS, epochs=EPOCHS_PER_REP):
     flops_step = train_step_cost(module, train.spec.shape, train.batch_size)["flops"]
     # warmup epoch compiles the scan program
     sampler._run_epoch(noise_on=True)
-    jax.block_until_ready(sampler._state.params)
+    device_sync(sampler._state.params)
 
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(epochs):
             sampler._run_epoch(noise_on=True)
-        jax.block_until_ready(sampler._state.params)
+        device_sync(sampler._state.params)
         best = max(best, epochs * train.num_batches / (time.perf_counter() - t0))
     return best, flops_step
 
@@ -98,16 +106,16 @@ def main():
         return softmax_probs(jax.vmap(one)(params, bstats)).mean(0)
 
     batches = [b for b in test.batches() if b[0].shape[0] == batch]
-    bma_probs(params, bstats, batches[0][0]).block_until_ready()  # compile
+    np.asarray(bma_probs(params, bstats, batches[0][0]))  # compile
     best_imgs = 0.0
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = None
         for x, _ in batches:
             out = bma_probs(params, bstats, x)
-        # block on the LAST OUTPUT: blocking on an input is a no-op under JAX
-        # async dispatch and would time the enqueue rate, not the compute
-        out.block_until_ready()
+        # host-fetch the LAST OUTPUT: the only sync that provably waits for
+        # the whole chain on remote device tunnels
+        np.asarray(out)
         best_imgs = max(
             best_imgs, len(batches) * batch / (time.perf_counter() - t0)
         )

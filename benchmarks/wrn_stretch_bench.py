@@ -42,14 +42,21 @@ def run_tpu(steps: int, members: int):
              "burn_in_epochs": 1},
             model=module, train=splits["train"], key=jax.random.PRNGKey(0),
         )
+        import numpy as np
+
+        # host-fetch sync: block_until_ready can return early on remote
+        # device tunnels
+        sync = lambda: np.asarray(
+            jnp.sum(jax.tree.leaves(sampler._state.params)[0])
+        )
         flops_step = train_step_cost(module, (32, 32, 3), batch)["flops"]
         sampler._run_epoch(True)  # compile
-        jax.block_until_ready(sampler._state.params)
+        sync()
         best = 0.0
         for _ in range(2):
             t0 = time.perf_counter()
             sampler._run_epoch(True)
-            jax.block_until_ready(sampler._state.params)
+            sync()
             best = max(best, nb / (time.perf_counter() - t0))
         out[f"tpu_sghmc_steps_per_sec{tag}"] = best
         if flops_step is not None:
@@ -72,13 +79,16 @@ def run_tpu(steps: int, members: int):
 
         return softmax_probs(jax.vmap(one)(params, bstats)).sum(0)
 
+    import numpy as np
+
     x = jnp.zeros((batch, 32, 32, 3), jnp.float32)
-    bma(params, bstats, x).block_until_ready()
+    np.asarray(bma(params, bstats, x))  # compile
     t0 = time.perf_counter()
     reps = 20
     for _ in range(reps):
         res = bma(params, bstats, x)
-    res.block_until_ready()
+    # host-fetch: the only sync that provably waits on remote device tunnels
+    np.asarray(res)
     images_per_sec = reps * batch / (time.perf_counter() - t0)
     out["tpu_bma_images_per_sec"] = images_per_sec
     out["tpu_device"] = str(jax.devices()[0])

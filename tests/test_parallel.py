@@ -130,6 +130,29 @@ def test_data_parallel_single_chain():
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_deep_ensemble_mesh_sharded():
+    """DeepEnsemble members train as mesh-sharded chains: 4 members over a
+    ('chain': 2, 'data': 4) mesh in one shard_map epoch program."""
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=128, synthetic_n_test=64,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    mesh = make_mesh(8)
+    de = inference.DeepEnsemble(
+        {"lr": 0.05, "epochs": 2, "momentum": 0.9, "weight_decay": 1e-4,
+         "num_members": 4},
+        model=module, train=splits["train"], key=jax.random.PRNGKey(11),
+        mesh=mesh,
+    )
+    ens = de.sample()
+    assert ens.num_members == 4
+    p = jax.tree.leaves(ens.params)[0]
+    assert not np.allclose(np.asarray(p[0]), np.asarray(p[1]))
+    leaf = jax.tree.leaves(de._state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
 def test_auto_mesh_layouts():
     from ursabench_tpu.parallel import auto_mesh
 

@@ -115,6 +115,7 @@ class SGD(_Inference):
             self._epoch_fn = make_epoch_fn(
                 self.module, self.train, lr_fn=_cosine_hyp_lr,
                 update_fn=_sgd_hyp_update, chains=self.chains,
+                mesh=self.mesh,
             )
         from .sgmcmc import SGHMC
 
@@ -230,6 +231,7 @@ class MCdropout(_Inference):
             self._epoch_fn = make_epoch_fn(
                 self.module, self.train, lr_fn=_one_cycle_hyp_lr,
                 update_fn=_sgd_hyp_update, chains=self.chains,
+                mesh=self.mesh,
             )
         from .sgmcmc import SGHMC
 

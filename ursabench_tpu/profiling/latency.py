@@ -78,15 +78,22 @@ def build_engine(module, params, batch_stats, batch_size, input_shape,
 
 def time_engine(engine, x, num_batches=20):
     """warm_up + per-batch timed reps; returns (lat_mean, lat_std) seconds
-    over post-burn-in batches."""
+    over post-burn-in batches.
+
+    Each rep ends with a device->host fetch of the result. That is (a)
+    protocol-faithful — the TensorRT reference times HtoD + execute + DtoH
+    per call (prof.py:72-80) — and (b) REQUIRED for correctness on remote
+    device tunnels where block_until_ready returns before the execution
+    finishes (measured: block-only timings collapse to the ~0.1 ms RPC
+    round-trip regardless of model size)."""
     for _ in range(WARM_UP_ITERS):
-        engine(x).block_until_ready()
+        np.asarray(engine(x))
     lats = []
     for b in range(num_batches):
         t0 = time.perf_counter()
         for _ in range(REPS_PER_BATCH):
-            out = engine(x)
-        out.block_until_ready()
+            out = np.asarray(engine(x))
+        del out
         lats.append((time.perf_counter() - t0) / REPS_PER_BATCH)
     lats = np.asarray(lats[BURN_IN_BATCHES:] if len(lats) > BURN_IN_BATCHES else lats)
     return float(lats.mean()), float(lats.std())

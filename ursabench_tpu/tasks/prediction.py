@@ -75,11 +75,14 @@ class Prediction(_Task):
         probs_chunks, ent_chunks = [], []
         for bi, (x, _) in enumerate(self.split.batches()):
             t0 = time.perf_counter()
-            logits = models.logits_all(x, bi)
-            jnp.asarray(logits).block_until_ready()
+            # device->host fetch inside the timed region: protocol-faithful
+            # (the TRT reference times DtoH per call, prof.py:72-80) and the
+            # only reliable sync on remote device tunnels, where
+            # block_until_ready returns before execution finishes
+            logits = np.asarray(jnp.asarray(models.logits_all(x, bi)))
             self.latencies.append(time.perf_counter() - t0)
             # bf16-compute models emit bf16 logits; metrics are always f32
-            p = _sp(jnp.asarray(logits).astype(jnp.float32))
+            p = _sp(jnp.asarray(logits, jnp.float32))
             probs_chunks.append(np.asarray(jnp.sum(p, axis=0)))
             ent_chunks.append(np.asarray(jnp.sum(_pe(_cs(p)), axis=0)))
         return np.concatenate(probs_chunks), np.concatenate(ent_chunks)

@@ -130,7 +130,10 @@ def main(argv=None):
             sampler = cls(hyperparameters=hyp, model=module, train=train_split,
                           key=jax.random.PRNGKey(args.seed + t))
             t0 = time.perf_counter()
-            sampler.sample()
+            ens = sampler.sample()
+            # host-fetch sync: block_until_ready can return early on remote
+            # device tunnels, so fetch a scalar depending on the samples
+            np.asarray(jax.numpy.sum(jax.tree.leaves(ens.params)[0]))
             if t >= 0:
                 times[t] = time.perf_counter() - t0
         timer[method + "_mean"] = float(times.mean())
