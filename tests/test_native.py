@@ -92,8 +92,12 @@ def test_streaming_training_epoch():
     step = make_streaming_step_fn(module, lr_fn=_cosine_hyp_lr,
                                   update_fn=_sghmc_hyp_update)
     first_losses = None
-    for epoch in range(6):
+    for epoch in range(10):
         state, losses = run_streaming_epoch(step, state, stream, epoch, 1.0, hyp)
         if first_losses is None:
             first_losses = losses
-    assert float(losses[-1]) < float(first_losses[0])
+    # mean-of-epoch comparison: single-batch losses are noisy under the
+    # always-on SGHMC Langevin noise
+    last_mean = float(np.mean([float(l) for l in losses]))
+    first_mean = float(np.mean([float(l) for l in first_losses]))
+    assert last_mean < first_mean - 0.01, (last_mean, first_mean)

@@ -91,7 +91,25 @@ def loaders(
         x_te, y_te = x_tr[r_ind[-n_val:]], y_tr[r_ind[-n_val:]]
         x_tr, y_tr = x_tr[r_ind[:-n_val]], y_tr[r_ind[:-n_val]]
     else:
-        x_te, y_te, _ = load_raw(dataset, path, train=False, synthetic_n=synthetic_n_test)
+        x_te, y_te, te_synth = load_raw(
+            dataset, path, train=False, synthetic_n=synthetic_n_test
+        )
+        if dataset in ("LSUN", "CelebA") and te_synth != is_synth:
+            # num_classes is data-defined for these; a half-present export
+            # (real train/ but missing test/, or vice versa) would pair a
+            # k-class model with 10-class synthetic labels and jnp.take's
+            # clip mode would turn that into silently wrong metrics
+            raise ValueError(
+                f"{dataset}: train split is "
+                f"{'synthetic' if is_synth else 'on-disk'} but test split is "
+                f"{'synthetic' if te_synth else 'on-disk'}; provide both "
+                "splits on disk (or neither, for the synthetic fallback)"
+            )
+        if int(y_te.max()) >= num_classes:
+            raise ValueError(
+                f"{dataset}: test labels reach {int(y_te.max())} but "
+                f"num_classes={num_classes} from the train split"
+            )
 
     if split_classes is not None:
         assert dataset == "CIFAR10" and split_classes in (0, 1)

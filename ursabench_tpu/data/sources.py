@@ -116,21 +116,38 @@ def read_svhn(root: str, split: str) -> Tuple[np.ndarray, np.ndarray] | None:
     return x, y
 
 
-def read_image_folder(root: str, size: int) -> Tuple[np.ndarray, np.ndarray] | None:
+def read_image_folder(
+    root: str, size: int, classes: list[str] | None = None
+) -> Tuple[np.ndarray, np.ndarray] | None:
     """torchvision ImageFolder-equivalent: root/<class>/**/*.{jpeg,jpg,png},
     classes sorted alphabetically -> label ids (the tin_loaders path,
-    datasets.py:101-135). Requires PIL; returns None if absent/empty."""
+    datasets.py:101-135). Pass ``classes`` to pin the class->id mapping (so
+    train/test splits agree even if one is missing a class on disk); class
+    dirs present here but absent from ``classes`` are an error, not a silent
+    relabel. Requires PIL; returns None if absent/empty."""
     if not os.path.isdir(root):
         return None
     try:
         from PIL import Image
     except ImportError:
         return None
-    classes = sorted(
+    on_disk = sorted(
         d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
     )
+    if classes is None:
+        classes = on_disk
+    else:
+        unknown = set(on_disk) - set(classes)
+        if unknown:
+            raise ValueError(
+                f"{root}: class dirs {sorted(unknown)} not present in the "
+                f"reference split's class list {classes}; the train/test "
+                "trees must share one class set"
+            )
+    class_to_id = {c: i for i, c in enumerate(classes)}
     xs, ys = [], []
-    for label, cls in enumerate(classes):
+    for cls in on_disk:
+        label = class_to_id[cls]
         for dirpath, _, files in os.walk(os.path.join(root, cls)):
             for fn in sorted(files):
                 if not fn.lower().endswith((".jpeg", ".jpg", ".png")):
@@ -149,8 +166,19 @@ def read_split_image_folder(
     root: str, train: bool, size: int
 ) -> Tuple[np.ndarray, np.ndarray] | None:
     """Directory layout <root>/{train,test}/<class>/... (TinyImageNet-style,
-    also serves LSUN/CelebA exports)."""
-    return read_image_folder(os.path.join(root, "train" if train else "test"), size)
+    also serves LSUN/CelebA exports). The train/ listing defines the
+    class->id mapping for BOTH splits so the two trees can never silently
+    disagree on label ids."""
+    train_root = os.path.join(root, "train")
+    classes = None
+    if os.path.isdir(train_root):
+        classes = sorted(
+            d for d in os.listdir(train_root)
+            if os.path.isdir(os.path.join(train_root, d))
+        ) or None
+    return read_image_folder(
+        os.path.join(root, "train" if train else "test"), size, classes=classes
+    )
 
 
 def read_tin(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
@@ -177,6 +205,59 @@ def read_stl10(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
 # ---------------------------------------------------------------------------
 
 
+_SYNTH_GEN_VERSION = "v2"  # bump when the generator's RNG consumption changes
+
+
+def _synth_cache_path(name: str, train: bool, n: int, seed: int) -> str | None:
+    root = os.environ.get("URSA_SYNTH_CACHE", "/tmp/ursabench_synth_cache")
+    if root in ("", "0"):
+        return None
+    tag = f"{name}-{'train' if train else 'test'}-{n}-{seed}-{_SYNTH_GEN_VERSION}"
+    return os.path.join(root, tag)
+
+
+def _synth_cache_load(name, train, n, seed):
+    """mmap'd cache read: under remote-TPU tunnels the PJRT plugin makes
+    anonymous first-touch page faults ~170x slower, but FILE-backed mappings
+    fault at full speed — so cache hits are served as read-only memmaps
+    (np.load copies pay ~25s for CIFAR-size arrays; the memmap is free)."""
+    base = _synth_cache_path(name, train, n, seed)
+    if base is None or not os.path.exists(base + ".x.npy"):
+        return None
+    try:
+        x = np.load(base + ".x.npy", mmap_mode="r")
+        y = np.load(base + ".y.npy")
+        return x, y
+    except Exception:
+        return None  # corrupt/partial cache entry: regenerate
+
+
+def _synth_writable_output(name, train, n, seed, shape):
+    """The uint8 output buffer for generation: a w+ file memmap at a tmp
+    cache path when caching (file-backed pages dodge the slow-fault path
+    AND saving is free), else plain memory. Returns (array, commit_fn)."""
+    base = _synth_cache_path(name, train, n, seed)
+    if base is not None:
+        try:
+            os.makedirs(os.path.dirname(base), exist_ok=True)
+            tmp = f"{base}.tmp.{os.getpid()}.x.npy"
+            x = np.lib.format.open_memmap(
+                tmp, mode="w+", dtype=np.uint8, shape=shape
+            )
+
+            def commit(y):
+                x.flush()
+                # y first: a reader that sees x.npy can rely on y.npy
+                np.save(f"{base}.tmp.{os.getpid()}.y.npy", y)
+                os.replace(f"{base}.tmp.{os.getpid()}.y.npy", base + ".y.npy")
+                os.replace(tmp, base + ".x.npy")
+
+            return x, commit
+        except Exception:
+            pass
+    return np.empty(shape, np.uint8), lambda y: None
+
+
 def synthetic(
     name: str, train: bool, n: int | None = None, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -186,18 +267,41 @@ def synthetic(
     size, ch, k, n_train, n_test = DATASET_PROFILES[name]
     if n is None:
         n = n_train if train else n_test
+    cached = _synth_cache_load(name, train, n, seed)
+    if cached is not None:
+        return cached
     # stable across processes (builtin hash() is salted per interpreter)
     digest = hashlib.sha256(f"{name}/ursabench-synth/{seed}".encode()).digest()
     root_seed = int.from_bytes(digest[:4], "little") % (2 ** 31)
     rng = np.random.Generator(np.random.Philox(root_seed))
-    templates = rng.uniform(40, 215, size=(k, size, size, ch))
+    templates = rng.uniform(40, 215, size=(k, size, size, ch)).astype(np.float32)
     split_rng = np.random.Generator(
         np.random.Philox(root_seed + (1 if train else 2))
     )
     y = split_rng.integers(0, k, size=n)
-    noise = split_rng.normal(0.0, 48.0, size=(n, size, size, ch))
-    x = np.clip(templates[y] + noise, 0, 255).astype(np.uint8)
-    return x, y.astype(np.int64)
+    # Chunked generation into ONE preallocated uint8 output with a reused
+    # f32 workspace. Under remote-TPU tunnels the PJRT plugin intercepts
+    # first-touch page faults (~170x slower than normal), so the naive
+    # whole-set float64 temporaries (GBs) cost minutes; this path touches
+    # only n*size*size*ch uint8 bytes once plus a fixed 2k-image scratch.
+    x, commit = _synth_writable_output(
+        name, train, n, seed, (n, size, size, ch)
+    )
+    chunk = 2048
+    work = np.empty((chunk, size, size, ch), np.float32)
+    tbuf = np.empty((chunk, size, size, ch), np.float32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        w, t = work[: hi - lo], tbuf[: hi - lo]
+        split_rng.standard_normal(out=w, dtype=np.float32)
+        np.take(templates, y[lo:hi], axis=0, out=t)
+        w *= 48.0
+        w += t
+        np.clip(w, 0, 255, out=w)
+        x[lo:hi] = w
+    y = y.astype(np.int64)
+    commit(y)
+    return x, y
 
 
 def load_raw(

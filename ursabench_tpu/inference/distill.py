@@ -53,8 +53,10 @@ def _train_regressor(module, split: DataSplit, targets, loss_kind: str,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    # data/targets as jit arguments (not closure constants) — see
+    # engine.make_epoch_fn
     @jax.jit
-    def epoch(params, bstats, opt_state, key):
+    def epoch_impl(params, bstats, opt_state, key, images, targets):
         key, k_perm = jax.random.split(key)
         perm = jax.random.permutation(k_perm, n)[: nb * bsz].reshape(nb, bsz)
 
@@ -71,6 +73,9 @@ def _train_regressor(module, split: DataSplit, targets, loss_kind: str,
             body, (params, bstats, opt_state), perm
         )
         return params, bstats, opt_state, key, losses.mean()
+
+    def epoch(params, bstats, opt_state, key):
+        return epoch_impl(params, bstats, opt_state, key, images, targets)
 
     opt_state = opt.init(params)
     for _ in range(epochs):

@@ -97,8 +97,8 @@ def make_epoch_fn(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def epoch_impl(state: TrainState, epoch: jnp.ndarray, noise_on: jnp.ndarray,
-                   hyp: dict):
+    def epoch_impl(state: TrainState, images, labels, epoch: jnp.ndarray,
+                   noise_on: jnp.ndarray, hyp: dict):
         key, k_perm, k_aug, k_noise, k_drop = jax.random.split(state.key, 5)
         perm = jax.random.permutation(k_perm, n)
         if pad:
@@ -136,9 +136,20 @@ def make_epoch_fn(
         )
         return TrainState(params, mom, bstats, key, step), losses.mean()
 
+    # data enters as jit ARGUMENTS, not closure constants: a closed-over
+    # dataset is baked into the executable (612MB persistent-cache entries
+    # for CIFAR, recompile on any data change); as arguments the compiled
+    # program is shape-only and the compilation cache survives across
+    # datasets and processes.
     fn = (epoch_impl if chains == 1
-          else jax.vmap(epoch_impl, in_axes=(0, None, None, None)))
-    return jax.jit(fn, donate_argnums=(0,))
+          else jax.vmap(epoch_impl, in_axes=(0, None, None, None, None, None)))
+    jitted = jax.jit(fn, donate_argnums=(0,))
+
+    def epoch_fn(state, epoch, noise_on, hyp):
+        return jitted(state, images, labels, epoch, noise_on, hyp)
+
+    epoch_fn._cache_size = jitted._cache_size  # no-recompile tests probe this
+    return epoch_fn
 
 
 def _make_sharded_epoch_fn(
@@ -193,7 +204,7 @@ def _make_sharded_epoch_fn(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     n_global = float(bsz)
 
-    def local_epoch(state: TrainState, epoch, noise_on, hyp):
+    def local_epoch(state: TrainState, images, labels, epoch, noise_on, hyp):
         data_idx = jax.lax.axis_index("data")
 
         def one_chain(st: TrainState):
@@ -255,11 +266,19 @@ def _make_sharded_epoch_fn(
     sharded = jax.shard_map(
         local_epoch,
         mesh=mesh,
-        in_specs=(state_spec, P(), P(), P()),
+        in_specs=(state_spec, P(), P(), P(), P(), P()),
         out_specs=(state_spec, state_spec),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,))
+    jitted = jax.jit(sharded, donate_argnums=(0,))
+
+    # data as jit arguments (not closure constants): keeps the compiled
+    # program shape-only — see make_epoch_fn
+    def epoch_fn(state, epoch, noise_on, hyp):
+        return jitted(state, images, labels, epoch, noise_on, hyp)
+
+    epoch_fn._cache_size = jitted._cache_size  # no-recompile tests probe this
+    return epoch_fn
 
 
 def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
@@ -335,7 +354,7 @@ def make_bn_refresh_fn(module, split: DataSplit):
     pad = nb * bsz - n
 
     @jax.jit
-    def refresh(params: Pytree, batch_stats: Pytree) -> Pytree:
+    def refresh_impl(params: Pytree, batch_stats: Pytree, images) -> Pytree:
         if not batch_stats:
             return batch_stats
         idx = jnp.arange(n)
@@ -384,6 +403,10 @@ def make_bn_refresh_fn(module, split: DataSplit):
         (stats, _), _ = jax.lax.scan(body_exact, (zeroed, 0.0), batches)
         return stats
 
+    # data as a jit argument (not a closure constant) — see make_epoch_fn
+    def refresh(params: Pytree, batch_stats: Pytree) -> Pytree:
+        return refresh_impl(params, batch_stats, images)
+
     return refresh
 
 
@@ -409,7 +432,7 @@ def make_eval_loss_fn(module, split: DataSplit):
     pad = nb * bsz - n
 
     @jax.jit
-    def val_loss(params, batch_stats):
+    def val_loss_impl(params, batch_stats, images, labels):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -431,5 +454,9 @@ def make_eval_loss_fn(module, split: DataSplit):
 
         total, _ = jax.lax.scan(body, 0.0, batches)
         return total / n
+
+    # data as jit arguments (not closure constants) — see make_epoch_fn
+    def val_loss(params, batch_stats):
+        return val_loss_impl(params, batch_stats, images, labels)
 
     return val_loss

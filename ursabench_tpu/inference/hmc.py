@@ -105,7 +105,10 @@ class HMC(_Inference):
             idx = jnp.concatenate([idx, jnp.full((pad,), -1)])
         batches = idx.reshape(nb, bsz)
 
-        def neg_log_post(theta):
+        # data enters the jitted programs as ARGUMENTS (closure-captured
+        # datasets get baked into the executable: huge compile-cache entries
+        # + a recompile whenever data changes — see engine.make_epoch_fn)
+        def neg_log_post(theta, images, labels):
             params = unravel(theta)
             variables = {"params": params}
             if bstats:
@@ -127,7 +130,7 @@ class HMC(_Inference):
 
         grad_u = jax.grad(neg_log_post)
 
-        def draw(theta, u_cur, key):
+        def draw(theta, u_cur, key, images, labels):
             """One HMC transition for one chain."""
             k_mom, k_acc = jax.random.split(key)
             # momentum ~ N(0, M) with M = mass * I; kinetic = 0.5 p^T M^-1 p
@@ -135,12 +138,12 @@ class HMC(_Inference):
 
             # standard half-step leapfrog: one gradient per step (the naive
             # two-half-steps-per-step form costs 2x the full-data grads)
-            p_half = p0 - 0.5 * eps * grad_u(theta)
+            p_half = p0 - 0.5 * eps * grad_u(theta, images, labels)
 
             def leapfrog(c, _):
                 th, p, _ = c
                 th = th + eps * inv_mass * p
-                g = grad_u(th)
+                g = grad_u(th, images, labels)
                 return (th, p - eps * g, g), None
 
             (theta_new, p_over, g_last), _ = jax.lax.scan(
@@ -148,7 +151,7 @@ class HMC(_Inference):
             )
             # the scan subtracted a full eps*g on the last step; roll back half
             p_new = p_over + 0.5 * eps * g_last
-            u_new = neg_log_post(theta_new)
+            u_new = neg_log_post(theta_new, images, labels)
             h_cur = u_cur + 0.5 * inv_mass * jnp.sum(p0 ** 2)
             h_new = u_new + 0.5 * inv_mass * jnp.sum(p_new ** 2)
             accept = jnp.log(jax.random.uniform(k_acc)) < (h_cur - h_new)
@@ -157,19 +160,29 @@ class HMC(_Inference):
             return theta, u_cur, accept
 
         @jax.jit
-        def chunk(theta, u, keys):
+        def chunk_impl(theta, u, keys, images, labels):
             """A lax.scan over draw transitions, all chains vmapped:
             theta (C, P), u (C,), keys (k, C, 2) -> trajectory (k, C, P)."""
 
             def body(carry, ks):
                 th, uu = carry
-                th, uu, acc = jax.vmap(draw)(th, uu, ks)
-                return (th, uu), (th, acc)
+                th, uu, acc = jax.vmap(
+                    draw, in_axes=(0, 0, 0, None, None)
+                )(th, uu, ks, images, labels)
+                return (th, uu), (th, uu, acc)
 
-            (theta, u), (thetas, accepts) = jax.lax.scan(body, (theta, u), keys)
-            return theta, u, thetas, accepts
+            _, (thetas, us, accepts) = jax.lax.scan(body, (theta, u), keys)
+            return thetas, us, accepts
 
-        return jax.jit(jax.vmap(neg_log_post)), chunk
+        nlp_jit = jax.jit(jax.vmap(neg_log_post, in_axes=(0, None, None)))
+
+        def nlp(theta):
+            return nlp_jit(theta, images, labels)
+
+        def chunk(theta, u, keys):
+            return chunk_impl(theta, u, keys, images, labels)
+
+        return nlp, chunk
 
     def sample(self, num_samples=None, debug=False) -> Ensemble:
         if self._chunk_fn is None:
@@ -183,13 +196,18 @@ class HMC(_Inference):
         accepts = []
         left = num_samples
         key = self.next_key()
+        # one compiled chunk shape for the whole chain: a final partial chunk
+        # is padded to chunk_size and the surplus draws discarded (a shape
+        # change would force a second full remote compile of the program)
+        chunk_size = min(self.draw_chunk, num_samples)
         while left > 0:
-            k = min(self.draw_chunk, left)
+            k = min(chunk_size, left)
             key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, k * C).reshape(k, C, 2)
-            theta, u, thetas, accs = self._chunk_fn(theta, u, keys)
-            trajectory.append(thetas)
-            accepts.append(accs)
+            keys = jax.random.split(sub, chunk_size * C).reshape(chunk_size, C, 2)
+            thetas, us, accs = self._chunk_fn(theta, u, keys)
+            theta, u = thetas[k - 1], us[k - 1]
+            trajectory.append(thetas[:k])
+            accepts.append(accs[:k])
             left -= k
         chain = jnp.concatenate(
             [trajectory[0][None]] + trajectory[1:], axis=0

@@ -93,7 +93,11 @@ class PCASubspaceSampler(_Inference):
             idx = jnp.concatenate([idx, jnp.full((pad,), -1)])
         batches = idx.reshape(nb, bsz)
 
-        def lnpdf(theta):
+        # dataset AND per-run subspace state (mean/cov_factor/bstats) enter
+        # the jitted programs as ARGUMENTS: closure-captured arrays get baked
+        # into the executable, which bloats compile-cache entries and forces
+        # a recompile per trial/subspace — see engine.make_epoch_fn
+        def lnpdf(theta, images, labels, mean, cov_factor, bstats):
             w = mean + cov_factor.T @ theta
             params = unravel(w)
             variables = {"params": params}
@@ -122,14 +126,25 @@ class PCASubspaceSampler(_Inference):
         # merely-jitted lnpdf re-traces the loop on every draw. Chains are a
         # leading vmap axis with per-chain keys (the while_loop batches:
         # all chains advance until every bracket closes).
-        transition = jax.jit(
-            jax.vmap(
-                lambda key, theta, prior, cur: elliptical_slice(
-                    key, theta, prior, lnpdf, cur_lnpdf=cur
-                )
-            )
+        def transition_impl(key, theta, prior, cur, images, labels, mean,
+                            cov_factor, bstats):
+            f = lambda th: lnpdf(th, images, labels, mean, cov_factor, bstats)
+            return elliptical_slice(key, theta, prior, f, cur_lnpdf=cur)
+
+        data_axes = (None,) * 5
+        transition_jit = jax.jit(
+            jax.vmap(transition_impl, in_axes=(0, 0, 0, 0) + data_axes)
         )
-        return jax.jit(jax.vmap(lnpdf)), transition
+        lnpdf_jit = jax.jit(jax.vmap(lnpdf, in_axes=(0,) + data_axes))
+
+        def lnpdf_fn(theta):
+            return lnpdf_jit(theta, images, labels, mean, cov_factor, bstats)
+
+        def transition(keys, theta, prior, cur):
+            return transition_jit(keys, theta, prior, cur, images, labels,
+                                  mean, cov_factor, bstats)
+
+        return lnpdf_fn, transition
 
     # -- sampling ---------------------------------------------------------------
 

@@ -52,7 +52,8 @@ def make_sweep_epoch_fn(module, split: DataSplit, t_max: int,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def epoch_impl(state: TrainState, epoch, noise_on, lr0, momentum, wd_over_n):
+    def epoch_impl(state: TrainState, images, labels, epoch, noise_on, lr0,
+                   momentum, wd_over_n):
         key, k_perm, k_aug, k_noise, k_drop = jax.random.split(state.key, 5)
         perm = jax.random.permutation(k_perm, n)
         if pad:
@@ -88,8 +89,15 @@ def make_sweep_epoch_fn(module, split: DataSplit, t_max: int,
         )
         return TrainState(params, mom, bstats, key, step), losses.mean()
 
-    fn = jax.vmap(epoch_impl, in_axes=(0, None, None, 0, 0, 0))
-    return jax.jit(fn, donate_argnums=(0,))
+    # data as jit arguments (not closure constants) — see engine.make_epoch_fn
+    fn = jax.vmap(epoch_impl, in_axes=(0, None, None, None, None, 0, 0, 0))
+    jitted = jax.jit(fn, donate_argnums=(0,))
+
+    def epoch_fn(state, epoch, noise_on, lr0, momentum, wd_over_n):
+        return jitted(state, images, labels, epoch, noise_on, lr0, momentum,
+                      wd_over_n)
+
+    return epoch_fn
 
 
 class SGHMCSweep:

@@ -46,7 +46,7 @@ def xla_cost(jitfn, *args) -> dict:
             ca = ca[0]
         return {
             "flops": float(ca["flops"]) if "flops" in ca else None,
-            "bytes": float(ca.get("bytes accessed")) if ca.get("bytes accessed") else None,
+            "bytes": float(ca["bytes accessed"]) if "bytes accessed" in ca else None,
         }
     except Exception:
         return {"flops": None, "bytes": None}

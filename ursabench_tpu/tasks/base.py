@@ -67,7 +67,9 @@ def accumulate_split(ensemble: Ensemble, split, smooth_probs: bool):
         bs_axes = None if ensemble.batch_stats is None else 0
         key_axes = None if ensemble.dropout_keys is None else 0
 
-        def run(params, batch_stats, keys):
+        # data enters as a jit argument (not a closure constant) so the
+        # compiled program is shape-only — see engine.make_epoch_fn
+        def run(params, batch_stats, keys, images):
             idx = jnp.arange(n)
             if pad:
                 idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
@@ -118,8 +120,9 @@ def accumulate_split(ensemble: Ensemble, split, smooth_probs: bool):
             )
             return acc_p[:n], acc_e[:n]
 
-        ensemble._jit_cache[key] = (split, jax.jit(run))
-    acc_p, acc_e = ensemble._jit_cache[key][1](
-        ensemble.params, ensemble.batch_stats, ensemble.dropout_keys
+        ensemble._jit_cache[key] = (split, jax.jit(run), images)
+    _, fn, images = ensemble._jit_cache[key]
+    acc_p, acc_e = fn(
+        ensemble.params, ensemble.batch_stats, ensemble.dropout_keys, images
     )
     return np.asarray(acc_p), np.asarray(acc_e)

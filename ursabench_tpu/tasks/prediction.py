@@ -79,10 +79,11 @@ class Prediction(_Task):
             # (the TRT reference times DtoH per call, prof.py:72-80) and the
             # only reliable sync on remote device tunnels, where
             # block_until_ready returns before execution finishes
-            logits = np.asarray(jnp.asarray(models.logits_all(x, bi)))
+            logits = jnp.asarray(models.logits_all(x, bi))
+            np.asarray(logits)  # the timed DtoH fetch; array stays on device
             self.latencies.append(time.perf_counter() - t0)
             # bf16-compute models emit bf16 logits; metrics are always f32
-            p = _sp(jnp.asarray(logits, jnp.float32))
+            p = _sp(logits.astype(jnp.float32))
             probs_chunks.append(np.asarray(jnp.sum(p, axis=0)))
             ent_chunks.append(np.asarray(jnp.sum(_pe(_cs(p)), axis=0)))
         return np.concatenate(probs_chunks), np.concatenate(ent_chunks)
