@@ -130,6 +130,42 @@ def test_data_parallel_single_chain():
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_swa_data_parallel_mesh():
+    """SWA's single trajectory shards its minibatch over a (1, n) 'data'
+    mesh; the resulting moments match the single-device run (psum'd
+    global-mean grads) to fp tolerance."""
+    from jax.sharding import Mesh
+
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=128, synthetic_n_test=64,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, 8), ("chain", "data"))
+    hyp = {"swag_lr": 0.01, "swag_wd": 0.001, "lr_init": 0.02,
+           "num_samples": 1, "momentum": 0.9, "burn_in_epochs": 2,
+           "num_iterates": 2}
+
+    def run(mesh_arg):
+        s = inference.SWA(hyp, model=module, train=splits["train"],
+                          key=jax.random.PRNGKey(3), mesh=mesh_arg)
+        s.sample_iterative()
+        return s
+
+    sharded, single = run(mesh), run(None)
+    np.testing.assert_allclose(np.asarray(sharded.weight_mean),
+                               np.asarray(single.weight_mean),
+                               rtol=2e-4, atol=2e-6)
+    # chain>1 meshes are rejected (single trajectory)
+    bad = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("chain", "data"))
+    try:
+        inference.SWA(hyp, model=module, train=splits["train"],
+                      key=jax.random.PRNGKey(3), mesh=bad)
+        assert False, "expected ValueError for chain>1 mesh"
+    except ValueError:
+        pass
+
+
 def test_deep_ensemble_mesh_sharded():
     """DeepEnsemble members train as mesh-sharded chains: 4 members over a
     ('chain': 2, 'data': 4) mesh in one shard_map epoch program."""

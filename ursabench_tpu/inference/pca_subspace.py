@@ -59,9 +59,17 @@ class PCASubspaceSampler(_Inference):
             "num_iterates": int(hyp["num_swag_iterates"]),
             "subspace_type": "pca",
         }
+        # the SWA phase is single-trajectory: hand it the mesh for data
+        # parallelism when the chain axis is trivial (ESS chains themselves
+        # shard over 'chain' via _place_chains-style GSPMD)
+        swa_mesh = (
+            self.mesh
+            if self.mesh is not None and self.mesh.shape.get("chain", 1) == 1
+            else None
+        )
         self.swa = SWA(
             swag_hyp, model=self.module, train=self.train, key=self.next_key(),
-            max_rank=self.max_rank, pca_rank=self.rank,
+            max_rank=self.max_rank, pca_rank=self.rank, mesh=swa_mesh,
         )
         self.subspace_constructed = False
         self.subspace: SubspaceModel | None = None

@@ -52,13 +52,23 @@ class SWA(_Inference):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
-                 **subspace_kwargs):
+                 mesh=None, **subspace_kwargs):
         if chains not in (1, None):
             raise NotImplementedError(
                 "SWA/SWAG run a single trajectory (the running weight moments "
                 "are chain-global); use SGHMC/SGLD/DeepEnsemble for chains"
             )
-        super().__init__(hyperparameters, model, train, model_loss, key, 1)
+        # a ('chain','data') mesh with data>1 shards each SGD minibatch over
+        # 'data' (pure data parallelism for the single trajectory; the state
+        # is replicated and grads arrive as one psum'd global mean)
+        if mesh is not None and mesh.shape.get("chain", 1) > 1:
+            raise ValueError(
+                "SWA/SWAG are single-trajectory: use a mesh with chain=1 "
+                "(all devices on the 'data' axis), e.g. "
+                "parallel.make_mesh(chain_devices=1)"
+            )
+        super().__init__(hyperparameters, model, train, model_loss, key, 1,
+                         mesh)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._subspace_kwargs = dict(subspace_kwargs)
@@ -100,7 +110,7 @@ class SWA(_Inference):
         if getattr(self, "_epoch_fn", None) is None:
             self._epoch_fn = make_epoch_fn(
                 self.module, self.train, lr_fn=_swa_schedule_hyp_lr,
-                update_fn=_sgd_hyp_update,
+                update_fn=_sgd_hyp_update, mesh=self.mesh,
             )
             self._bn_refresh = make_bn_refresh_fn(self.module, self.train)
         self._state = TrainState(

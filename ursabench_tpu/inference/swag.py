@@ -31,10 +31,11 @@ class SWAG(SWA):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
-                 reference_bug_compat: bool = False, **subspace_kwargs):
+                 mesh=None, reference_bug_compat: bool = False,
+                 **subspace_kwargs):
         self.reference_bug_compat = reference_bug_compat
         super().__init__(hyperparameters, model, train, model_loss, key, chains,
-                         **subspace_kwargs)
+                         mesh, **subspace_kwargs)
         self.num_samples = int(self.hyperparameters.get("num_samples", 20))
         self.weight_variance = None
 
