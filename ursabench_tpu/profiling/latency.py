@@ -33,7 +33,7 @@ BURN_IN_BATCHES = 10  # run_prediction.py:70
 class ProfileConfig:
     model: str
     dataset: str
-    precision: str  # 'fp32' | 'bf16'
+    precision: str  # 'fp32' | 'bf16' | 'int8' (weight-only, see quantize.py)
     ensemble_size: int
     batch_size: int
 
@@ -48,18 +48,28 @@ def build_engine(module, params, batch_stats, batch_size, input_shape,
 
     Returns (compiled_fn, example_input). bf16 casts params + activations
     (fp32 accumulation on the MXU via preferred_element_type default).
+    'int8' stores kernels as symmetric per-output-channel int8 and
+    dequantizes to bf16 inside the engine (trtexec --int8 analogue;
+    weights occupy 4x less HBM, the batch-1 bound) — see quantize.py.
     """
-    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    dtype = jnp.bfloat16 if precision in ("bf16", "int8") else jnp.float32
     cast = lambda t: jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
     )
-    params = cast(params)
+    if precision == "int8":
+        from .quantize import dequantize_tree, quantize_tree
+
+        params = quantize_tree(params, member_axis=True)
+        decode = lambda p: dequantize_tree(p, dtype)
+    else:
+        params = cast(params)
+        decode = lambda p: p
     if batch_stats is not None:
         batch_stats = cast(batch_stats)
 
     def fn(params, batch_stats, x):
         def one(p, b):
-            variables = {"params": p}
+            variables = {"params": decode(p)}  # per-member: dequant fuses
             if b is not None:
                 variables["batch_stats"] = b
             return module.apply(variables, x.astype(dtype), train=False)
