@@ -105,7 +105,7 @@ def loaders(
                 f"{'synthetic' if te_synth else 'on-disk'}; provide both "
                 "splits on disk (or neither, for the synthetic fallback)"
             )
-        if int(y_te.max()) >= num_classes:
+        if len(y_te) and int(y_te.max()) >= num_classes:
             raise ValueError(
                 f"{dataset}: test labels reach {int(y_te.max())} but "
                 f"num_classes={num_classes} from the train split"

@@ -16,6 +16,7 @@ import hashlib
 import os
 import pickle
 import struct
+import time
 from typing import Tuple
 
 import numpy as np
@@ -232,14 +233,38 @@ def _synth_cache_load(name, train, n, seed):
         return None  # corrupt/partial cache entry: regenerate
 
 
+def _sweep_stale_tmp(cache_dir: str, max_age_s: float = 3600.0) -> None:
+    """Remove interrupted generations' tmp memmaps (dataset-sized files no
+    code path would otherwise ever delete). Age-gated so a concurrent
+    process's live tmp file is left alone."""
+    try:
+        now = time.time()
+        for fn in os.listdir(cache_dir):
+            if ".tmp." not in fn:
+                continue
+            p = os.path.join(cache_dir, fn)
+            try:
+                if now - os.path.getmtime(p) > max_age_s:
+                    os.remove(p)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
 def _synth_writable_output(name, train, n, seed, shape):
     """The uint8 output buffer for generation: a w+ file memmap at a tmp
     cache path when caching (file-backed pages dodge the slow-fault path
-    AND saving is free), else plain memory. Returns (array, commit_fn)."""
+    AND saving is free), else plain memory. Returns (array, commit_fn);
+    commit_fn returns the final array to hand out (a READ-ONLY reopen of
+    the committed file — returning the writable memmap would alias the
+    cache, so a caller's in-place mutation would silently corrupt every
+    future cache hit)."""
     base = _synth_cache_path(name, train, n, seed)
     if base is not None:
         try:
             os.makedirs(os.path.dirname(base), exist_ok=True)
+            _sweep_stale_tmp(os.path.dirname(base))
             tmp = f"{base}.tmp.{os.getpid()}.x.npy"
             x = np.lib.format.open_memmap(
                 tmp, mode="w+", dtype=np.uint8, shape=shape
@@ -251,6 +276,7 @@ def _synth_writable_output(name, train, n, seed, shape):
                 np.save(f"{base}.tmp.{os.getpid()}.y.npy", y)
                 os.replace(f"{base}.tmp.{os.getpid()}.y.npy", base + ".y.npy")
                 os.replace(tmp, base + ".x.npy")
+                return np.load(base + ".x.npy", mmap_mode="r")
 
             return x, commit
         except Exception:
@@ -300,8 +326,8 @@ def synthetic(
         np.clip(w, 0, 255, out=w)
         x[lo:hi] = w
     y = y.astype(np.int64)
-    commit(y)
-    return x, y
+    committed = commit(y)
+    return (committed if committed is not None else x), y
 
 
 def load_raw(
