@@ -136,6 +136,62 @@ def test_lsun_celeba_loaders(tmp_path):
     assert splits["train"].images.shape == (6, 64, 64, 3)
 
 
+def test_image_folder_class_map_pinned_to_train(tmp_path):
+    """train/ defines the class->id map for both splits; a test/ tree whose
+    class set diverges errors instead of silently relabeling, and a partial
+    LSUN export (real train, missing test) errors instead of pairing a
+    k-class model with 10-class synthetic labels."""
+    import pytest
+    from PIL import Image
+
+    from ursabench_tpu import data
+    from ursabench_tpu.data.sources import read_split_image_folder
+
+    root = tmp_path / "lsun"
+    # train has {bedroom, kitchen}; test has an extra class
+    for split, classes in (("train", ("bedroom", "kitchen")),
+                           ("test", ("bedroom", "church", "kitchen"))):
+        for cls in classes:
+            d = root / split / cls
+            d.mkdir(parents=True)
+            Image.new("RGB", (64, 64), color=(5, 10, 0)).save(d / "0.png")
+    x, y = read_split_image_folder(str(root), train=True, size=64)
+    assert sorted(np.unique(y)) == [0, 1]
+    with pytest.raises(ValueError, match="church"):
+        read_split_image_folder(str(root), train=False, size=64)
+
+    # partial export: train/ on disk, no test/ -> loud error, not silent mix
+    root2 = tmp_path / "partial"
+    d = root2 / "train" / "bedroom"
+    d.mkdir(parents=True)
+    Image.new("RGB", (64, 64)).save(d / "0.png")
+    with pytest.raises(ValueError, match="synthetic"):
+        data.loaders("LSUN", str(root2), batch_size=2, use_validation=False)
+
+
+def test_empty_test_split_loads():
+    from ursabench_tpu import data
+
+    splits, C = data.loaders("MNIST", None, batch_size=8, use_validation=False,
+                             synthetic_n_train=32, synthetic_n_test=0)
+    assert splits["test"].n == 0 and C == 10
+
+
+def test_synthetic_cache_not_aliased():
+    """Mutating what synthetic() returned must never corrupt the on-disk
+    cache for future loads."""
+    from ursabench_tpu.data.sources import synthetic
+
+    x, y = synthetic("MNIST", True, n=64)
+    first_val = int(np.asarray(x[0]).max())
+    try:
+        np.asarray(x)[0] = 0  # read-only memmaps raise; plain arrays don't
+    except ValueError:
+        pass
+    x2, _ = synthetic("MNIST", True, n=64)
+    assert int(np.asarray(x2[0]).max()) == first_val
+
+
 def test_ensemble_update_statistics_alias(small_ensemble_module=None):
     """_Task.ensemble_update_statistics (task_base.py:16) delegates to the
     vmapped update_statistics — the plural surface the reference declared
