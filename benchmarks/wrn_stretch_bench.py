@@ -25,7 +25,7 @@ def run_tpu(steps: int, members: int):
     from ursabench_tpu import data, inference, models
     from ursabench_tpu.inference.engine import init_variables
     from ursabench_tpu.profiling.hw import device_peaks, train_step_cost
-    from ursabench_tpu.util import enable_compilation_cache, softmax_probs, tree_stack
+    from ursabench_tpu.util import enable_compilation_cache, tree_stack
     import jax.numpy as jnp
 
     enable_compilation_cache()
@@ -66,31 +66,28 @@ def run_tpu(steps: int, members: int):
                 out[f"tpu_sghmc_mfu_pct{tag}"] = round(
                     achieved / peak_flops * 100, 1
                 )
-    module = models.get_model("WideResNet28x10").build(C)
-    keys = jax.random.split(jax.random.PRNGKey(1), members)
-    variables = [init_variables(module, k, (32, 32, 3)) for k in keys]
-    params = tree_stack([v["params"] for v in variables])
-    bstats = tree_stack([v["batch_stats"] for v in variables])
-
-    @jax.jit
-    def bma(params, bstats, x):
-        def one(p, b):
-            return module.apply({"params": p, "batch_stats": b}, x, train=False)
-
-        return softmax_probs(jax.vmap(one)(params, bstats)).sum(0)
-
     import numpy as np
 
-    x = jnp.zeros((batch, 32, 32, 3), jnp.float32)
-    np.asarray(bma(params, bstats, x))  # compile
-    t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
-        res = bma(params, bstats, x)
-    # host-fetch: the only sync that provably waits on remote device tunnels
-    np.asarray(res)
-    images_per_sec = reps * batch / (time.perf_counter() - t0)
-    out["tpu_bma_images_per_sec"] = images_per_sec
+    from ursabench_tpu.inference.ensemble import Ensemble
+    from ursabench_tpu.tasks.base import accumulate_split
+
+    # measure the PRODUCTION eval path: the whole test split as one scanned
+    # device program (accumulate_split). A per-batch dispatch loop pays the
+    # ~28ms tunnel RTT per call on remote devices and reads ~2x low.
+    for tag, kw in (("", {}), ("_bf16", {"dtype": jnp.bfloat16})):
+        module = models.get_model("WideResNet28x10").build(C, **kw)
+        keys = jax.random.split(jax.random.PRNGKey(1), members)
+        variables = [init_variables(module, k, (32, 32, 3)) for k in keys]
+        params = tree_stack([v["params"] for v in variables])
+        bstats = tree_stack([v["batch_stats"] for v in variables])
+        ens = Ensemble(module, params, bstats, members)
+        test = splits["test"]
+        accumulate_split(ens, test, smooth_probs=False)  # compile + first-exec
+        t0 = time.perf_counter()
+        accumulate_split(ens, test, smooth_probs=False)  # returns numpy: synced
+        out[f"tpu_bma_images_per_sec{tag}"] = (
+            test.n / (time.perf_counter() - t0)
+        )
     out["tpu_device"] = str(jax.devices()[0])
     return out
 

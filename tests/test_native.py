@@ -101,3 +101,29 @@ def test_streaming_training_epoch():
     last_mean = float(np.mean([float(l) for l in losses]))
     first_mean = float(np.mean([float(l) for l in first_losses]))
     assert last_mean < first_mean - 0.01, (last_mean, first_mean)
+
+
+def test_streaming_from_disk_memmap(tmp_path):
+    """HostStreamingSplit over a read-only np.load memmap: the C++ gather
+    reads mapped pages directly — beyond-RAM datasets stream from disk."""
+    import numpy as np
+
+    from ursabench_tpu.data import native
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (40, 8, 8, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, (40,)).astype(np.int64)
+    p = tmp_path / "imgs.npy"
+    np.save(p, images)
+    mm = np.load(p, mmap_mode="r")
+    assert not mm.flags.writeable
+
+    spec = ImageSpec(8, 1, (0.5,), (0.5,))
+    split = native.HostStreamingSplit(mm, labels, batch_size=16, spec=spec,
+                                      shuffle=False)
+    batches = list(split.epoch())
+    assert len(batches) == 2
+    x0 = np.asarray(batches[0][0])
+    ref = (images[:16].astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(x0, ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(batches[0][1]), labels[:16])

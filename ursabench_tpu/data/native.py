@@ -126,7 +126,13 @@ def gather_u8(
 class HostStreamingSplit:
     """Shuffled epoch iterator over a host-resident dataset with
     double-buffered device transfer — the streaming alternative to
-    DataSplit's fully device-resident layout."""
+    DataSplit's fully device-resident layout.
+
+    ``images`` may be a read-only ``np.load(..., mmap_mode='r')`` memmap:
+    the C++ gather reads straight from the mapped pages (no RAM copy of
+    the dataset), so beyond-RAM datasets stream from disk through the
+    same pipeline — and on remote-TPU tunnels file-backed pages dodge the
+    slow anonymous-fault path entirely (CLAUDE.md allocator landmine)."""
 
     def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
                  spec, shuffle: bool = True, seed: int = 0):
