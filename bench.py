@@ -85,10 +85,16 @@ def main():
 
     steps_per_sec, flops_ep = _sghmc_throughput(cfg.build(num_classes), train)
     tflops, mfu_pct = tflops_and_mfu(steps_per_sec, flops_ep)
-    steps_bf16, flops_bf16 = _sghmc_throughput(
-        cfg.build(num_classes, dtype=jnp.bfloat16), train, reps=1
-    )
-    tflops_bf16, mfu_bf16 = tflops_and_mfu(steps_bf16, flops_bf16)
+    # secondary sections are best-effort: on remote tunnels each extra
+    # program pays a 100-250s first execution (CLAUDE.md), and a failure
+    # there must not cost the headline JSON line
+    try:
+        steps_bf16, flops_bf16 = _sghmc_throughput(
+            cfg.build(num_classes, dtype=jnp.bfloat16), train, reps=1
+        )
+        tflops_bf16, mfu_bf16 = tflops_and_mfu(steps_bf16, flops_bf16)
+    except Exception:
+        steps_bf16 = tflops_bf16 = mfu_bf16 = None
 
     # BMA eval throughput: 5-member vmapped ensemble over the test split
     module = cfg.build(num_classes)
@@ -105,20 +111,24 @@ def main():
 
         return softmax_probs(jax.vmap(one)(params, bstats)).mean(0)
 
-    batches = [b for b in test.batches() if b[0].shape[0] == batch]
-    np.asarray(bma_probs(params, bstats, batches[0][0]))  # compile
-    best_imgs = 0.0
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = None
-        for x, _ in batches:
-            out = bma_probs(params, bstats, x)
-        # host-fetch the LAST OUTPUT: the only sync that provably waits for
-        # the whole chain on remote device tunnels
-        np.asarray(out)
-        best_imgs = max(
-            best_imgs, len(batches) * batch / (time.perf_counter() - t0)
-        )
+    best_imgs = None
+    try:
+        batches = [b for b in test.batches() if b[0].shape[0] == batch]
+        np.asarray(bma_probs(params, bstats, batches[0][0]))  # compile
+        best_imgs = 0.0
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            out = None
+            for x, _ in batches:
+                out = bma_probs(params, bstats, x)
+            # host-fetch the LAST OUTPUT: the only sync that provably waits
+            # for the whole chain on remote device tunnels
+            np.asarray(out)
+            best_imgs = max(
+                best_imgs, len(batches) * batch / (time.perf_counter() - t0)
+            )
+    except Exception:
+        pass
 
     base_path = os.path.join(os.path.dirname(__file__), "assets", "baseline_cpu.json")
     vs = None
@@ -134,10 +144,10 @@ def main():
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "tflops": tflops,
         "mfu_pct_of_bf16_peak": mfu_pct,
-        "bf16_steps_per_sec": round(steps_bf16, 2),
+        "bf16_steps_per_sec": round(steps_bf16, 2) if steps_bf16 else None,
         "bf16_tflops": tflops_bf16,
         "bf16_mfu_pct": mfu_bf16,
-        "bma_images_per_sec": round(best_imgs, 1),
+        "bma_images_per_sec": round(best_imgs, 1) if best_imgs else None,
         "timed_window": f"best of {REPS}x{EPOCHS_PER_REP} epochs",
         "device": str(jax.devices()[0]),
     }))

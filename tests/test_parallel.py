@@ -189,6 +189,54 @@ def test_deep_ensemble_mesh_sharded():
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_task_eval_on_mesh_sharded_ensemble():
+    """The PRODUCTION task path (Prediction -> accumulate_split) consumes an
+    ensemble harvested from mesh-sharded sampling as-is: the params keep
+    their 'chain' shardings and GSPMD partitions the member-vmapped eval —
+    metrics must equal a fully-replicated evaluation of the same members."""
+    from ursabench_tpu import tasks
+
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=128, synthetic_n_test=64,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    mesh = make_mesh(8)
+    s = inference.SGHMC(
+        {"lr": 0.03, "prior_std": 1.0, "num_samples": 2, "burn_in_epochs": 0,
+         "alpha": 0.1},
+        model=module, train=splits["train"], key=jax.random.PRNGKey(5),
+        chains=2, mesh=mesh,
+    )
+    ens = s.sample()
+    assert ens.num_members == 4
+    leaf = jax.tree.leaves(ens.params)[0]
+    assert len(leaf.sharding.device_set) > 1  # still mesh-sharded
+
+    def run_task(e):
+        t = tasks.Prediction({"in_distribution_test": splits["test"]}, C,
+                             metric_list=["error_rate", "nll", "ece"])
+        t.update_statistics(e, output_performance=False)
+        return t.get_performance_metrics()
+
+    m_sharded = run_task(ens)
+    from ursabench_tpu.inference.ensemble import Ensemble
+
+    import jax.numpy as jnp
+
+    replicated = Ensemble(
+        module,
+        jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), ens.params),
+        jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), ens.batch_stats)
+        if ens.batch_stats is not None else None,
+        ens.num_members,
+    )
+    m_rep = run_task(replicated)
+    for k in m_sharded:
+        np.testing.assert_allclose(m_sharded[k], m_rep[k], rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_auto_mesh_layouts():
     from ursabench_tpu.parallel import auto_mesh
 
