@@ -14,7 +14,11 @@ Python round-trip per draw), the L leapfrog steps are an inner scan, and
 the full-batch gradient is a scan over device-resident data. Multiple
 chains (the reference is single-chain, hmc.py:71) advance under one vmap
 with per-chain PRNG streams and, when a mesh is given, shard over its
-'chain' axis via GSPMD. log-target:
+'chain' axis. A mesh with a 'data' axis >1 additionally DATA-PARALLELIZES
+the full-batch potential: every gradient batch is computed shard-wise with
+one psum per evaluation (the full-batch gradient is the most
+data-parallel-friendly computation in the zoo; the reference has no
+distributed HMC at all). log-target:
     log p(theta) = -tau_out * CE_sum(data; theta) - 0.5 * tau * ||theta||^2
 """
 
@@ -91,6 +95,17 @@ class HMC(_Inference):
         # scan in large chunks to amortize per-step overhead ('grad_batch'
         # hyper overrides, default 4096)
         bsz = min(n, int(self.hyperparameters.get("grad_batch", 4096)))
+        # the full-batch gradient is THE data-parallel-friendly computation:
+        # with a mesh whose 'data' axis is >1 every grad batch is computed
+        # shard-wise (each device takes its slice of each batch) and the CE
+        # sum arrives through one psum per potential evaluation
+        data_shards = 1
+        if (self.mesh is not None and "data" in self.mesh.shape
+                and self.mesh.shape["data"] > 1):
+            data_shards = self.mesh.shape["data"]
+            assert n >= data_shards, (n, data_shards)
+            bsz = max(data_shards, bsz - bsz % data_shards)
+        local_bsz = bsz // data_shards
         nb = -(-n // bsz)
         pad = nb * bsz - n
         module = self.module
@@ -115,6 +130,12 @@ class HMC(_Inference):
                 variables["batch_stats"] = bstats
 
             def body(total, b_idx):
+                if data_shards > 1:
+                    b_idx = jax.lax.dynamic_slice(
+                        b_idx,
+                        (jax.lax.axis_index("data") * local_bsz,),
+                        (local_bsz,),
+                    )
                 valid = (b_idx >= 0).astype(jnp.float32)
                 x = normalize(jnp.take(images, jnp.maximum(b_idx, 0), axis=0), spec)
                 y = jnp.take(labels, jnp.maximum(b_idx, 0), axis=0)
@@ -126,6 +147,8 @@ class HMC(_Inference):
                 return total + jnp.sum(ce * valid), None
 
             ll_sum, _ = jax.lax.scan(body, 0.0, batches)
+            if data_shards > 1:
+                ll_sum = jax.lax.psum(ll_sum, "data")
             return tau_out * ll_sum + 0.5 * tau * jnp.sum(theta ** 2)
 
         grad_u = jax.grad(neg_log_post)
@@ -159,8 +182,7 @@ class HMC(_Inference):
             u_cur = jnp.where(accept, u_new, u_cur)
             return theta, u_cur, accept
 
-        @jax.jit
-        def chunk_impl(theta, u, keys, images, labels):
+        def chunk_body(theta, u, keys, images, labels):
             """A lax.scan over draw transitions, all chains vmapped:
             theta (C, P), u (C,), keys (k, C, 2) -> trajectory (k, C, P)."""
 
@@ -174,10 +196,42 @@ class HMC(_Inference):
             _, (thetas, us, accepts) = jax.lax.scan(body, (theta, u), keys)
             return thetas, us, accepts
 
-        nlp_jit = jax.jit(jax.vmap(neg_log_post, in_axes=(0, None, None)))
+        def nlp_body(theta, images, labels):
+            return jax.vmap(neg_log_post, in_axes=(0, None, None))(
+                theta, images, labels
+            )
+
+        if data_shards > 1:
+            # shard_map over the full mesh: chains block over 'chain' (when
+            # divisible; else replicated), every potential/gradient shard-wise
+            # over 'data' with the psum above. Per-chain keys are replicated
+            # across 'data', so MH accept decisions agree on every data shard.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            chain_shards = self.mesh.shape.get("chain", 1)
+            c_ax = ("chain" if chain_shards > 1
+                    and self.chains % chain_shards == 0 else None)
+            chunk_impl = jax.jit(jax.shard_map(
+                chunk_body, mesh=self.mesh,
+                in_specs=(P(c_ax), P(c_ax), P(None, c_ax), P(), P()),
+                out_specs=(P(None, c_ax), P(None, c_ax), P(None, c_ax)),
+                check_vma=False,
+            ))
+            nlp_impl = jax.jit(jax.shard_map(
+                nlp_body, mesh=self.mesh,
+                in_specs=(P(c_ax), P(), P()), out_specs=P(c_ax),
+                check_vma=False,
+            ))
+            # commit the dataset to the mesh once (replicated) so epochs
+            # don't re-broadcast it from device 0 on every call
+            images = jax.device_put(images, NamedSharding(self.mesh, P()))
+            labels = jax.device_put(labels, NamedSharding(self.mesh, P()))
+        else:
+            chunk_impl = jax.jit(chunk_body)
+            nlp_impl = jax.jit(nlp_body)
 
         def nlp(theta):
-            return nlp_jit(theta, images, labels)
+            return nlp_impl(theta, images, labels)
 
         def chunk(theta, u, keys):
             return chunk_impl(theta, u, keys, images, labels)
