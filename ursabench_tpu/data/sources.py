@@ -281,7 +281,8 @@ def _synth_writable_output(name, train, n, seed, shape):
             return x, commit
         except Exception:
             pass
-    return np.empty(shape, np.uint8), lambda y: None
+    x = np.empty(shape, np.uint8)
+    return x, lambda y: x  # no cache: hand out the in-memory buffer as-is
 
 
 def synthetic(
@@ -326,8 +327,7 @@ def synthetic(
         np.clip(w, 0, 255, out=w)
         x[lo:hi] = w
     y = y.astype(np.int64)
-    committed = commit(y)
-    return (committed if committed is not None else x), y
+    return commit(y), y
 
 
 def load_raw(

@@ -175,15 +175,11 @@ def _make_sharded_epoch_fn(
     statistics. The reference has no counterpart (SURVEY.md §2.9: no
     distributed layer at all); collectives are XLA-generated from shard_map.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    images, labels = split.device_arrays()
-    # commit the dataset to the mesh ONCE (replicated): passed as jit
-    # arguments they keep the compiled program shape-only, but without this
-    # placement GSPMD would re-broadcast the full train set from device 0 on
-    # every epoch call
-    images = jax.device_put(images, NamedSharding(mesh, P()))
-    labels = jax.device_put(labels, NamedSharding(mesh, P()))
+    from ..parallel.mesh import replicate_to_mesh
+
+    images, labels = replicate_to_mesh(mesh, *split.device_arrays())
     spec = split.spec
     n = split.n
     bsz = split.batch_size

@@ -206,7 +206,9 @@ class HMC(_Inference):
             # divisible; else replicated), every potential/gradient shard-wise
             # over 'data' with the psum above. Per-chain keys are replicated
             # across 'data', so MH accept decisions agree on every data shard.
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import replicate_to_mesh
 
             chain_shards = self.mesh.shape.get("chain", 1)
             c_ax = ("chain" if chain_shards > 1
@@ -222,10 +224,7 @@ class HMC(_Inference):
                 in_specs=(P(c_ax), P(), P()), out_specs=P(c_ax),
                 check_vma=False,
             ))
-            # commit the dataset to the mesh once (replicated) so epochs
-            # don't re-broadcast it from device 0 on every call
-            images = jax.device_put(images, NamedSharding(self.mesh, P()))
-            labels = jax.device_put(labels, NamedSharding(self.mesh, P()))
+            images, labels = replicate_to_mesh(self.mesh, images, labels)
         else:
             chunk_impl = jax.jit(chunk_body)
             nlp_impl = jax.jit(nlp_body)

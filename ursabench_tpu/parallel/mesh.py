@@ -54,6 +54,15 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def replicate_to_mesh(mesh: Mesh, *arrays):
+    """Commit arrays to the mesh replicated (P()). Datasets passed as jit
+    arguments must be placed once like this, or GSPMD re-broadcasts them
+    from device 0 on every call of the compiled program."""
+    sharding = NamedSharding(mesh, P())
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out if len(out) != 1 else out[0]
+
+
 def sharded_sghmc_step(
     module,
     mesh: Mesh,
