@@ -83,7 +83,15 @@ def build_engine(module, params, batch_stats, batch_size, input_shape,
 
     x = jnp.zeros((batch_size,) + tuple(input_shape), jnp.float32)
     compiled = jax.jit(fn).lower(params, batch_stats, x).compile()
-    return (lambda xb: compiled(params, batch_stats, xb)), x
+    engine = lambda xb: compiled(params, batch_stats, xb)
+    try:  # XLA's own flops count -> achieved TFLOP/s + MFU in the results
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        engine.cost_flops = float(ca["flops"]) if "flops" in ca else None
+    except Exception:
+        engine.cost_flops = None
+    return engine, x
 
 
 def time_engine(engine, x, num_batches=20):
@@ -132,13 +140,23 @@ def profile_config(cfg: ProfileConfig, trace_dir: str | None = None) -> dict:
             mean, std = time_engine(engine, x)
     else:
         mean, std = time_engine(engine, x)
-    return {
+    out = {
         **asdict(cfg),
         "latency_mean_s": mean,
         "latency_std_s": std,
         "images_per_sec": cfg.batch_size / mean,
         "device": str(jax.devices()[0]),
     }
+    flops = getattr(engine, "cost_flops", None)
+    if flops:
+        from .hw import device_peaks
+
+        achieved = flops / mean
+        out["achieved_tflops"] = round(achieved / 1e12, 2)
+        peak, _ = device_peaks()
+        if peak:
+            out["mfu_pct"] = round(achieved / peak * 100, 1)
+    return out
 
 
 def profile_prediction(cfg: ProfileConfig, splits, num_classes: int,
