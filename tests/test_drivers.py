@@ -174,8 +174,47 @@ def test_profiling_sweep(tmp_path):
         assert cache2.keys() == cache.keys()
         tab = make_latex_table(cache)
         assert "bf16" in tab and "fp32" in tab and "tabular" in tab
+
+        # device-amortized mode UPGRADES cached per-call entries in place
+        cache3 = run_sweep(cfgs, cache_path, amortize_k=4)
+        for r in cache3.values():
+            assert r["latency_mean_s"] > 0  # per-call fields survived
+            assert r["amortized_latency_s"] > 0
+            assert r["amortized_loop_k"] == 4
+        tab = make_latex_table(cache3)
+        assert "device (ms)" in tab and "call (ms)" in tab
     finally:
         lat.WARM_UP_ITERS, lat.REPS_PER_BATCH, lat.BURN_IN_BATCHES = orig
+
+
+def test_amortized_engine_matches_per_call_engine():
+    """The K-forward fori_loop engine's accumulated output equals K x the
+    single forward's (the chaining perturbation underflows to bit-exact x),
+    and per-forward cost metadata is attached."""
+    import jax
+
+    from ursabench_tpu import models
+    from ursabench_tpu.inference.engine import init_variables
+    from ursabench_tpu.profiling.latency import (build_amortized_engine,
+                                                 build_engine)
+    from ursabench_tpu.util import tree_stack
+
+    module = models.get_model("MLP200MNIST").build(10)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    params = tree_stack(
+        [init_variables(module, k, (28, 28, 1))["params"] for k in keys]
+    )
+    engine, x = build_engine(module, params, None, 4, (28, 28, 1), "fp32")
+    engine_k, xk = build_amortized_engine(module, params, None, 4,
+                                          (28, 28, 1), "fp32", loop_k=7)
+    probs = np.asarray(engine(x))
+    acc = float(np.asarray(engine_k(xk)))
+    np.testing.assert_allclose(acc, 7 * probs.sum(), rtol=1e-5)
+    assert engine_k.loop_k == 7
+    # int8 amortized engine also builds + runs
+    q_k, xq = build_amortized_engine(module, params, None, 4, (28, 28, 1),
+                                     "int8", loop_k=3)
+    assert np.isfinite(float(np.asarray(q_k(xq))))
 
 
 def test_prediction_latency_mode_and_profile():

@@ -268,6 +268,38 @@ def test_hmc_data_parallel_potential():
     assert np.all(np.isfinite(np.asarray(jax.tree.leaves(ens.params)[0])))
 
 
+def test_hmc_data_parallel_draws_match_single_device():
+    """DRAW-level parity for data-parallel HMC at a step size with
+    non-trivial acceptance: the sharded gradient (psum of per-shard
+    grad(local_ll) + prior) must drive the *same trajectory* as the
+    single-device full-batch gradient. A grad that differentiates through
+    the psum yields data_shards x the local-shard gradient per device,
+    diverging by ~0.1 per draw at this step size — far outside tolerance."""
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=96, synthetic_n_test=32,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    mesh = make_mesh(8)  # ('chain': 2, 'data': 4)
+    hyp = {"step_size": 6e-3, "num_samples": 6, "L": 3, "tau": 1.0,
+           "burn": 0, "mass": 1.0, "draw_chunk": 3, "grad_batch": 48}
+
+    def run(mesh_arg):
+        s = inference.HMC(hyp, model=module, train=splits["train"],
+                          key=jax.random.PRNGKey(7), chains=2, mesh=mesh_arg)
+        return s, s.sample()
+
+    sharded, ens_s = run(mesh)
+    single, ens_1 = run(None)
+    # the regime must exercise both MH branches for parity to mean anything
+    assert 0.0 < single.accept_rate < 1.0, single.accept_rate
+    assert sharded.accept_rate == single.accept_rate
+    for a, b in zip(jax.tree.leaves(ens_s.params),
+                    jax.tree.leaves(ens_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_auto_mesh_layouts():
     from ursabench_tpu.parallel import auto_mesh
 

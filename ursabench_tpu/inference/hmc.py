@@ -123,7 +123,13 @@ class HMC(_Inference):
         # data enters the jitted programs as ARGUMENTS (closure-captured
         # datasets get baked into the executable: huge compile-cache entries
         # + a recompile whenever data changes — see engine.make_epoch_fn)
-        def neg_log_post(theta, images, labels):
+        def local_nll(theta, images, labels):
+            """Shard-LOCAL CE sum (no collective). Kept separate from
+            neg_log_post so the data-parallel gradient can be formed as
+            psum(grad(local)) — differentiating *through* the psum inside
+            shard_map(check_vma=False) silently yields data_shards x the
+            local-shard gradient per device, so each shard would leapfrog
+            a different trajectory."""
             params = unravel(theta)
             variables = {"params": params}
             if bstats:
@@ -147,11 +153,26 @@ class HMC(_Inference):
                 return total + jnp.sum(ce * valid), None
 
             ll_sum, _ = jax.lax.scan(body, 0.0, batches)
+            return ll_sum
+
+        def neg_log_post(theta, images, labels):
+            ll_sum = local_nll(theta, images, labels)
             if data_shards > 1:
                 ll_sum = jax.lax.psum(ll_sum, "data")
             return tau_out * ll_sum + 0.5 * tau * jnp.sum(theta ** 2)
 
-        grad_u = jax.grad(neg_log_post)
+        if data_shards > 1:
+            # the gradient analogue of engine._make_sharded_epoch_fn:
+            # differentiate the LOCAL likelihood only, all-reduce the shard
+            # gradients explicitly, then add the (replicated) prior term —
+            # every device sees the identical global full-batch gradient
+            _grad_local = jax.grad(local_nll)
+
+            def grad_u(theta, images, labels):
+                g = jax.lax.psum(_grad_local(theta, images, labels), "data")
+                return tau_out * g + tau * theta
+        else:
+            grad_u = jax.grad(neg_log_post)
 
         def draw(theta, u_cur, key, images, labels):
             """One HMC transition for one chain."""

@@ -42,16 +42,14 @@ class ProfileConfig:
                 f".ensemble{self.ensemble_size}.bs{self.batch_size}")
 
 
-def build_engine(module, params, batch_stats, batch_size, input_shape,
-                 precision="fp32"):
-    """AOT-compile the vmapped BMA forward — the 'TensorRT engine build'.
-
-    Returns (compiled_fn, example_input). bf16 casts params + activations
-    (fp32 accumulation on the MXU via preferred_element_type default).
-    'int8' stores kernels as symmetric per-output-channel int8 and
-    dequantizes to bf16 inside the engine (trtexec --int8 analogue;
-    weights occupy 4x less HBM, the batch-1 bound) — see quantize.py.
-    """
+def _prep_forward(module, params, batch_stats, precision):
+    """Shared engine front-end: returns (fn, params, batch_stats) where
+    fn(params, batch_stats, x) -> posterior-mean probabilities. bf16 casts
+    params + activations (fp32 accumulation on the MXU via
+    preferred_element_type default). 'int8' stores kernels as symmetric
+    per-output-channel int8 and dequantizes to bf16 inside the engine
+    (trtexec --int8 analogue; weights occupy 4x less HBM, the batch-1
+    bound) — see quantize.py."""
     dtype = jnp.bfloat16 if precision in ("bf16", "int8") else jnp.float32
     cast = lambda t: jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
@@ -81,17 +79,83 @@ def build_engine(module, params, batch_stats, batch_size, input_shape,
             jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ).mean(0)
 
-    x = jnp.zeros((batch_size,) + tuple(input_shape), jnp.float32)
-    compiled = jax.jit(fn).lower(params, batch_stats, x).compile()
-    engine = lambda xb: compiled(params, batch_stats, xb)
-    try:  # XLA's own flops count -> achieved TFLOP/s + MFU in the results
+    return fn, params, batch_stats
+
+
+def _attach_cost(engine, compiled):
+    """XLA's own flops/bytes counts -> achieved TFLOP/s, percent-of-peak and
+    HBM-traffic columns in the results."""
+    engine.cost_flops = engine.cost_bytes = None
+    try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        engine.cost_flops = float(ca["flops"]) if "flops" in ca else None
+        if ca:
+            if "flops" in ca:
+                engine.cost_flops = float(ca["flops"])
+            if "bytes accessed" in ca:
+                engine.cost_bytes = float(ca["bytes accessed"])
     except Exception:
-        engine.cost_flops = None
+        pass
+
+
+def build_engine(module, params, batch_stats, batch_size, input_shape,
+                 precision="fp32"):
+    """AOT-compile the vmapped BMA forward — the 'TensorRT engine build'.
+    Returns (compiled_fn, example_input)."""
+    fn, params, batch_stats = _prep_forward(module, params, batch_stats,
+                                            precision)
+    x = jnp.zeros((batch_size,) + tuple(input_shape), jnp.float32)
+    compiled = jax.jit(fn).lower(params, batch_stats, x).compile()
+    engine = lambda xb: compiled(params, batch_stats, xb)
+    _attach_cost(engine, compiled)
     return engine, x
+
+
+def build_amortized_engine(module, params, batch_stats, batch_size,
+                           input_shape, precision="fp32", loop_k=100):
+    """K serial forwards inside ONE jitted program — the chip-true engine.
+
+    The per-call protocol (time_engine) is faithful to the TensorRT
+    reference (prof.py:153-171: HtoD -> execute -> DtoH per call), but over
+    a remote device tunnel every call pays the RPC round-trip (~28 ms on
+    this stack), so small-model rows measure the tunnel, not the chip.
+    This engine runs ``loop_k`` forwards in one lax.fori_loop, fetches
+    once, and divides by K — the dispatch/fetch overhead amortizes to
+    nothing and the quotient is device execution time.
+
+    Each iteration's input is ``x + 1e-30 * sum(prev_probs)``: bit-exact
+    x at runtime (the perturbation underflows against O(1) pixels) yet a
+    true loop-carried dependency at compile time, so XLA can neither hoist
+    the loop-invariant forward NOR hoist the int8 dequant out of the loop
+    — every iteration re-reads the engine's stored weights from HBM, which
+    is precisely the weight-streaming regime the int8 engines target.
+
+    Returns (engine_k, example_input); engine_k.loop_k = K and
+    engine_k.cost_flops / .cost_bytes are PER-FORWARD (XLA's cost analysis
+    counts a while-loop body once — here that is exactly one forward).
+    """
+    fn, params, batch_stats = _prep_forward(module, params, batch_stats,
+                                            precision)
+
+    def fn_k(params, batch_stats, x):
+        def body(_, carry):
+            xi, acc = carry
+            probs = fn(params, batch_stats, xi)
+            s = jnp.sum(probs)
+            return (x + jnp.float32(1e-30) * s, acc + s)
+
+        _, acc = jax.lax.fori_loop(
+            0, loop_k, body, (x, jnp.float32(0.0))
+        )
+        return acc
+
+    x = jnp.zeros((batch_size,) + tuple(input_shape), jnp.float32)
+    compiled = jax.jit(fn_k).lower(params, batch_stats, x).compile()
+    engine_k = lambda xb: compiled(params, batch_stats, xb)
+    _attach_cost(engine_k, compiled)
+    engine_k.loop_k = loop_k
+    return engine_k, x
 
 
 def time_engine(engine, x, num_batches=20):
@@ -117,7 +181,55 @@ def time_engine(engine, x, num_batches=20):
     return float(lats.mean()), float(lats.std())
 
 
-def profile_config(cfg: ProfileConfig, trace_dir: str | None = None) -> dict:
+def time_amortized(engine_k, x, reps=5):
+    """Time the K-forward loop engine: warm twice (the first execution of a
+    program on the remote service pays a one-off setup cost), then ``reps``
+    fetch-synced calls; returns (per_forward_mean_s, per_forward_std_s)."""
+    for _ in range(2):
+        np.asarray(engine_k(x))
+    lats = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(engine_k(x))
+        lats.append((time.perf_counter() - t0) / engine_k.loop_k)
+    lats = np.asarray(lats)
+    return float(lats.mean()), float(lats.std())
+
+
+def _cost_fields(flops, bytes_, latency_s):
+    """achieved TFLOP/s, percent-of-bf16-peak, and HBM GB/s for a measured
+    per-forward latency. The percent-of-peak key divides by the device's
+    bf16 peak for EVERY precision (fp32/int8 rows read as percent of the
+    bf16 number, not of a per-precision peak) — named accordingly."""
+    out = {}
+    if not flops or not latency_s:
+        return out
+    from .hw import device_peaks
+
+    achieved = flops / latency_s
+    out["achieved_tflops"] = round(achieved / 1e12, 2)
+    peak, hbm_peak = device_peaks()
+    if peak:
+        out["mfu_pct_of_bf16_peak"] = round(achieved / peak * 100, 1)
+    if bytes_:
+        out["hbm_bytes_accessed"] = int(bytes_)
+        out["hbm_gb_per_sec"] = round(bytes_ / latency_s / 1e9, 1)
+        if hbm_peak:
+            out["hbm_bw_pct_of_peak"] = round(
+                bytes_ / latency_s / hbm_peak * 100, 1
+            )
+    return out
+
+
+def profile_config(cfg: ProfileConfig, trace_dir: str | None = None,
+                   amortize_k: int = 0, per_call: bool = True) -> dict:
+    """Measure one engine configuration.
+
+    ``per_call=True`` runs the protocol-faithful per-call timing (every rep
+    pays dispatch + device->host fetch — on a remote tunnel this includes
+    the ~28 ms RPC floor; see time_engine). ``amortize_k=K`` additionally
+    (or, with per_call=False, solely) measures the device-amortized
+    K-forward loop engine, which is the chip-true number."""
     from .. import models
     from ..inference.engine import init_variables
     from ..util import tree_stack
@@ -132,30 +244,39 @@ def profile_config(cfg: ProfileConfig, trace_dir: str | None = None) -> dict:
     if variables[0].get("batch_stats"):
         bstats = tree_stack([v["batch_stats"] for v in variables])
 
-    engine, x = build_engine(
-        module, params, bstats, cfg.batch_size, spec.shape, cfg.precision
-    )
-    if trace_dir:
-        with jax.profiler.trace(trace_dir):
+    out = {**asdict(cfg), "device": str(jax.devices()[0])}
+    flops = bytes_ = None
+    if per_call:
+        engine, x = build_engine(
+            module, params, bstats, cfg.batch_size, spec.shape, cfg.precision
+        )
+        if trace_dir:
+            with jax.profiler.trace(trace_dir):
+                mean, std = time_engine(engine, x)
+        else:
             mean, std = time_engine(engine, x)
-    else:
-        mean, std = time_engine(engine, x)
-    out = {
-        **asdict(cfg),
-        "latency_mean_s": mean,
-        "latency_std_s": std,
-        "images_per_sec": cfg.batch_size / mean,
-        "device": str(jax.devices()[0]),
-    }
-    flops = getattr(engine, "cost_flops", None)
-    if flops:
-        from .hw import device_peaks
+        out.update(
+            latency_mean_s=mean, latency_std_s=std,
+            images_per_sec=cfg.batch_size / mean,
+        )
+        flops, bytes_ = engine.cost_flops, engine.cost_bytes
 
-        achieved = flops / mean
-        out["achieved_tflops"] = round(achieved / 1e12, 2)
-        peak, _ = device_peaks()
-        if peak:
-            out["mfu_pct"] = round(achieved / peak * 100, 1)
+    if amortize_k:
+        engine_k, x = build_amortized_engine(
+            module, params, bstats, cfg.batch_size, spec.shape,
+            cfg.precision, loop_k=amortize_k,
+        )
+        amean, astd = time_amortized(engine_k, x)
+        if flops is None:
+            flops, bytes_ = engine_k.cost_flops, engine_k.cost_bytes
+        out.update(
+            amortized_latency_s=amean, amortized_latency_std_s=astd,
+            amortized_loop_k=engine_k.loop_k,
+            amortized_images_per_sec=cfg.batch_size / amean,
+            **_cost_fields(flops, bytes_, amean),
+        )
+    elif per_call:
+        out.update(**_cost_fields(flops, bytes_, out["latency_mean_s"]))
     return out
 
 
@@ -204,18 +325,28 @@ def profile_prediction(cfg: ProfileConfig, splits, num_classes: int,
     }
 
 
-def run_sweep(configs, cache_path: str, trace_dir: str | None = None) -> dict:
-    """JSON-cached sweep with resume (run_prediction.py:127-141 pattern)."""
+def run_sweep(configs, cache_path: str, trace_dir: str | None = None,
+              amortize_k: int = 0, per_call: bool = True) -> dict:
+    """JSON-cached sweep with resume (run_prediction.py:127-141 pattern).
+    A cached entry is re-measured only for the missing mode (e.g. a
+    round-2 per-call-only cache gains amortized fields in place)."""
     cache = {}
     if os.path.exists(cache_path):
         with open(cache_path) as f:
             cache = json.load(f)
     for cfg in configs:
-        if cfg.key() in cache:
+        prev = cache.get(cfg.key(), {})
+        need_call = per_call and "latency_mean_s" not in prev
+        need_amort = amortize_k and "amortized_latency_s" not in prev
+        if not (need_call or need_amort):
             print("cached:", cfg.key())
             continue
-        print("profiling:", cfg.key())
-        cache[cfg.key()] = profile_config(cfg, trace_dir)
+        print("profiling:", cfg.key(),
+              f"(per_call={need_call}, amortize_k={amortize_k if need_amort else 0})")
+        res = profile_config(cfg, trace_dir,
+                             amortize_k=amortize_k if need_amort else 0,
+                             per_call=need_call)
+        cache[cfg.key()] = {**prev, **res}
         with open(cache_path, "w") as f:
             json.dump(cache, f, indent=1)
     return cache
@@ -230,6 +361,10 @@ def main(argv=None):
     p.add_argument("--batch_sizes", nargs="*", type=int, default=[1, 128])
     p.add_argument("--cache", type=str, default="latency_cache.json")
     p.add_argument("--trace_dir", type=str, default=None)
+    p.add_argument("--amortize_k", type=int, default=0,
+                   help="also measure the K-forward device-amortized engine")
+    p.add_argument("--no_per_call", action="store_true",
+                   help="skip the per-call protocol timing")
     p.add_argument("--table", action="store_true", help="print LaTeX table")
     args = p.parse_args(argv)
 
@@ -240,7 +375,9 @@ def main(argv=None):
         for s in args.ensemble_sizes
         for b in args.batch_sizes
     ]
-    cache = run_sweep(configs, args.cache, args.trace_dir)
+    cache = run_sweep(configs, args.cache, args.trace_dir,
+                      amortize_k=args.amortize_k,
+                      per_call=not args.no_per_call)
     if args.table:
         from .tables import make_latex_table
 
