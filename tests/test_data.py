@@ -1,6 +1,7 @@
 """Data layer: loaders semantics, splits, imbalance, loaders_inc, logging."""
 
 import numpy as np
+import pytest
 
 from ursabench_tpu import data
 
@@ -275,3 +276,73 @@ def test_read_cifar_honors_requested_variant(tmp_path):
     assert x10.shape == (20, 32, 32, 3) and y10.max() <= 9
     x100, y100 = read_cifar(str(tmp_path), train=True, variant=100)
     assert x100.shape == (4, 32, 32, 3) and y100.max() == 99
+
+
+def test_synthetic_difficulty_knob():
+    """The difficulty knob controls class separation monotonically: higher
+    'separation' -> lower nearest-empirical-mean (Bayes proxy) error; the
+    default operating point sits in the realistic band (not the 0%-error
+    degenerate regime, not chance)."""
+    from ursabench_tpu.data.sources import resolve_difficulty, synthetic
+
+    def proxy_error(**diff):
+        xtr, ytr = synthetic("MNIST", True, n=2048,
+                             difficulty=diff or None)
+        xte, yte = synthetic("MNIST", False, n=1024,
+                             difficulty=diff or None)
+        xtr = np.asarray(xtr).reshape(len(xtr), -1).astype(np.float32)
+        xte = np.asarray(xte).reshape(len(xte), -1).astype(np.float32)
+        means = np.stack([xtr[ytr == c].mean(0) for c in range(10)])
+        pred = ((xte[:, None, :] - means[None]) ** 2).sum(-1).argmin(1)
+        return float((pred != yte).mean())
+
+    e_default = proxy_error()
+    e_easy = proxy_error(separation=6.0)
+    e_hard = proxy_error(separation=1.0)
+    assert e_easy < e_default < e_hard
+    assert 0.02 < e_default < 0.45, e_default  # realistic band
+    assert e_hard > 0.4
+
+    # per-dataset defaults resolve + caller overrides win + unknown rejected
+    d = resolve_difficulty("CIFAR100")
+    assert d["separation"] > resolve_difficulty("MNIST")["separation"]
+    assert resolve_difficulty("MNIST", {"noise": 10.0})["noise"] == 10.0
+    with pytest.raises(ValueError):
+        resolve_difficulty("MNIST", {"nope": 1})
+
+    # label noise: a Bayes-proxy-perfect split still has ~ln*(k-1)/k errors
+    e_clean = proxy_error(separation=25.0, label_noise=0.0)
+    e_noisy = proxy_error(separation=25.0, label_noise=0.1)
+    assert e_clean < 0.01
+    assert 0.04 < e_noisy < 0.16
+
+
+def test_end_to_end_metrics_non_degenerate():
+    """BASELINE-suite-style end-to-end run on the default synthetic
+    difficulty must exercise the metric suite at realistic operating
+    points: nonzero error, non-null misclass AUROC/AUCPR, ECE above the
+    degenerate 1e-4 regime (VERDICT r2 'missing #2')."""
+    import jax
+
+    from ursabench_tpu import inference, models, tasks
+    from ursabench_tpu import data as udata
+
+    splits, C = udata.loaders("MNIST", None, batch_size=128,
+                              use_validation=False,
+                              synthetic_n_train=4096, synthetic_n_test=1024)
+    module = models.get_model("MLP200MNIST").build(C)
+    hyp = {"lr": 0.05, "prior_std": 1.0, "num_samples": 3, "alpha": 0.1,
+           "burn_in_epochs": 3}
+    ens = inference.SGHMC(hyp, model=module, train=splits["train"],
+                          key=jax.random.PRNGKey(0)).sample()
+    t = tasks.Prediction({"in_distribution_test": splits["test"]}, C,
+                         metric_list="ALL")
+    t.update_statistics(ens, output_performance=False)
+    m = {k: float(v) for k, v in t.get_performance_metrics().items()}
+    assert 0.03 < m["error_rate"] < 0.45, m["error_rate"]
+    assert m["ece"] > 1e-3
+    for k in ("misclass_model_uncertainty_auroc", "misclass_confidence_auroc",
+              "misclass_total_uncertainty_auroc"):
+        assert np.isfinite(m[k]) and 0.5 < m[k] <= 1.0, (k, m[k])
+    for k in ("misclass_model_uncertainty_aucpr", "misclass_confidence_aucpr"):
+        assert np.isfinite(m[k]) and m[k] > m["error_rate"] * 0.5, (k, m[k])

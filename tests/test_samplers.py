@@ -9,9 +9,13 @@ from ursabench_tpu import data, inference, models, tasks
 
 @pytest.fixture(scope="module")
 def tiny():
+    # near-separable difficulty: these tests check sampler machinery
+    # (convergence smoke, relative comparisons), not operating points —
+    # with 128 train images the calibrated default difficulty is unlearnable
     splits, C = data.loaders(
         "MNIST", None, batch_size=32, use_validation=False,
         synthetic_n_train=128, synthetic_n_test=64,
+        difficulty={"separation": 25.0, "label_noise": 0.0},
     )
     module = models.get_model("MLP200MNIST").build(C)
     return splits, C, module

@@ -10,12 +10,14 @@ from ursabench_tpu import data, inference, models, tasks
 def small_ensemble():
     import jax
 
+    # near-separable difficulty (see tests/test_samplers.py tiny fixture)
     splits, C = data.loaders(
         "MNIST", None, batch_size=32, use_validation=False,
         synthetic_n_train=128, synthetic_n_test=64,
+        difficulty={"separation": 25.0, "label_noise": 0.0},
     )
     module = models.get_model("MLP200MNIST").build(C)
-    hyp = {"lr": 0.03, "prior_std": 1.0, "num_samples": 2, "burn_in_epochs": 1}
+    hyp = {"lr": 0.03, "prior_std": 1.0, "num_samples": 4, "burn_in_epochs": 3}
     ens = inference.SGLD(
         hyp, model=module, train=splits["train"], key=jax.random.PRNGKey(0)
     ).sample()

@@ -13,7 +13,8 @@ from __future__ import annotations
 import numpy as np
 
 from .arrays import DataSplit
-from .sources import DATASET_PROFILES, load_raw, synthetic
+from .sources import (DATASET_PROFILES, load_raw, resolve_difficulty,
+                      synthetic)
 from .transforms import ImageSpec
 
 c10_classes = np.array([[0, 1, 2, 8, 9], [3, 4, 5, 6, 7]], dtype=np.int32)
@@ -56,17 +57,19 @@ def loaders(
     seed: int = 0,
     synthetic_n_train: int | None = None,
     synthetic_n_test: int | None = None,
+    difficulty: dict | None = None,
 ):
     del num_workers
     if dataset == "SVHN":
         return _svhn_loaders(
             path, batch_size, transform_train, transform_test,
             use_validation, val_size, shuffle_train,
-            synthetic_n_train, synthetic_n_test,
+            synthetic_n_train, synthetic_n_test, difficulty,
         )
 
     x_tr, y_tr, is_synth = load_raw(
-        dataset, path, train=True, synthetic_n=synthetic_n_train
+        dataset, path, train=True, synthetic_n=synthetic_n_train,
+        difficulty=difficulty,
     )
     # profile count when known — max(labels)+1 (the reference's inference,
     # datasets.py:171) undercounts on small synthetic subsets. LSUN/CelebA
@@ -92,7 +95,8 @@ def loaders(
         x_tr, y_tr = x_tr[r_ind[:-n_val]], y_tr[r_ind[:-n_val]]
     else:
         x_te, y_te, te_synth = load_raw(
-            dataset, path, train=False, synthetic_n=synthetic_n_test
+            dataset, path, train=False, synthetic_n=synthetic_n_test,
+            difficulty=difficulty,
         )
         if dataset in ("LSUN", "CelebA") and te_synth != is_synth:
             # num_classes is data-defined for these; a half-present export
@@ -143,17 +147,21 @@ def _remap_split(x, y, sel):
 def _svhn_loaders(
     path, batch_size, transform_train, transform_test,
     use_validation, val_size, shuffle_train,
-    synthetic_n_train, synthetic_n_test,
+    synthetic_n_train, synthetic_n_test, difficulty=None,
 ):
     """SVHN uses trailing-slice validation, not a permuted split
     (datasets.py:61-98); the test set is truncated to 10000."""
-    x_tr, y_tr, _ = load_raw("SVHN", path, train=True, synthetic_n=synthetic_n_train)
+    x_tr, y_tr, _ = load_raw("SVHN", path, train=True,
+                             synthetic_n=synthetic_n_train,
+                             difficulty=difficulty)
     if use_validation:
         v = int(val_size if val_size > 1 else len(x_tr) * val_size)
         x_te, y_te = x_tr[-v:], y_tr[-v:]
         x_tr, y_tr = x_tr[:-v], y_tr[:-v]
     else:
-        x_te, y_te, _ = load_raw("SVHN", path, train=False, synthetic_n=synthetic_n_test)
+        x_te, y_te, _ = load_raw("SVHN", path, train=False,
+                                 synthetic_n=synthetic_n_test,
+                                 difficulty=difficulty)
         x_te, y_te = x_te[:10000], y_te[:10000]
     spec_tr = transform_train or ImageSpec(32, 3, (0.5,) * 3, (0.5,) * 3)
     spec_te = transform_test or spec_tr
@@ -182,6 +190,7 @@ def loaders_inc(
     seed: int = 1,
     synthetic_n_train: int | None = None,
     synthetic_n_test: int | None = None,
+    difficulty: dict | None = None,
 ):
     """Incremental chunked loaders — parity with
     /root/reference/URSABench/datasets.py:264-326: one seeded permutation,
@@ -189,7 +198,9 @@ def loaders_inc(
     carved from the permutation tail."""
     assert dataset in {"MNIST", "CIFAR10", "CIFAR100"}
     del num_workers
-    x_tr, y_tr, _ = load_raw(dataset, path, train=True, synthetic_n=synthetic_n_train)
+    x_tr, y_tr, _ = load_raw(dataset, path, train=True,
+                             synthetic_n=synthetic_n_train,
+                             difficulty=difficulty)
     num_classes = DATASET_PROFILES[dataset][2]
     total = len(x_tr)
     num_samples = (total - val_size) if use_validation else total
@@ -219,7 +230,8 @@ def loaders_inc(
                          dataset_name=dataset)
     else:
         x_te, y_te, _ = load_raw(dataset, path, train=False,
-                                 synthetic_n=synthetic_n_test)
+                                 synthetic_n=synthetic_n_test,
+                                 difficulty=difficulty)
         test = DataSplit(x_te, y_te, batch_size, spec_te, dataset_name=dataset)
     return {"train": chunks, "test": test}, num_classes
 
@@ -227,4 +239,5 @@ def loaders_inc(
 __all__ = [
     "loaders", "loaders_inc", "DataSplit", "ImageSpec", "c10_classes",
     "increase_data_imbalance", "DATASET_PROFILES", "synthetic",
+    "resolve_difficulty",
 ]
