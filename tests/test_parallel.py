@@ -281,7 +281,7 @@ def test_hmc_data_parallel_draws_match_single_device():
     )
     module = models.get_model("MLP200MNIST").build(C)
     mesh = make_mesh(8)  # ('chain': 2, 'data': 4)
-    hyp = {"step_size": 6e-3, "num_samples": 6, "L": 3, "tau": 1.0,
+    hyp = {"step_size": 2e-2, "num_samples": 6, "L": 3, "tau": 1.0,
            "burn": 0, "mass": 1.0, "draw_chunk": 3, "grad_batch": 48}
 
     def run(mesh_arg):
@@ -324,7 +324,8 @@ def test_sharded_step_matches_single_device():
     from ursabench_tpu.data.transforms import CIFAR_TEST, normalize
     from ursabench_tpu.inference.engine import init_variables
     from ursabench_tpu.ops.sgmcmc import sghmc_update
-    from ursabench_tpu.parallel import make_mesh, sharded_sghmc_step
+    from ursabench_tpu.parallel import make_mesh
+    from ursabench_tpu.parallel.mesh import sharded_sghmc_step
     from ursabench_tpu.util import tree_stack
 
     mesh = make_mesh(8)
@@ -385,3 +386,37 @@ def test_sharded_step_matches_single_device():
         for e, g in zip(jax.tree.leaves(expect), jax.tree.leaves(got)):
             np.testing.assert_allclose(np.asarray(e), np.asarray(g),
                                        rtol=2e-4, atol=2e-6)
+
+
+def test_pca_ess_data_parallel_matches_single_device():
+    """Sharded ESS (full-data log-density shard-wise over 'data' with one
+    psum per bracket evaluation, chains over 'chain') must reproduce the
+    single-device ESS draws exactly: same subspace (the SWA phase key
+    stream is identical), same per-chain keys, same bracket decisions."""
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=96, synthetic_n_test=32,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    mesh = make_mesh(8)  # ('chain': 2, 'data': 4)
+    hyp = {"swag_lr": 0.01, "swag_wd": 1e-4, "lr_init": 0.02,
+           "num_samples": 2, "swag_momentum": 0.9, "swag_burn_in_epochs": 1,
+           "num_swag_iterates": 3, "rank": 2, "max_rank": 3,
+           "temperature": 100.0, "prior_std": 1.0}
+
+    def run(mesh_arg):
+        s = inference.PCASubspaceSampler(
+            hyp, model=module, train=splits["train"],
+            key=jax.random.PRNGKey(11), chains=2, mesh=mesh_arg,
+        )
+        for _ in range(2):
+            s.sample_iterative(update_bn=False)
+        return s
+
+    sharded, single = run(mesh), run(None)
+    np.testing.assert_allclose(np.asarray(sharded.current_theta),
+                               np.asarray(single.current_theta),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sharded.current_lnpdf),
+                               np.asarray(single.current_lnpdf),
+                               rtol=2e-4, atol=2e-6)

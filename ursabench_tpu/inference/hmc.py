@@ -258,18 +258,67 @@ class HMC(_Inference):
 
         return nlp, chunk
 
+    # -- mid-chain checkpointing ------------------------------------------------
+
+    def enable_auto_checkpoint(self, path: str, every_epochs: int = 10,
+                               resume: bool = True) -> bool:
+        """HMC variant of the elastic-recovery hook: ``every_epochs`` counts
+        DRAWS (HMC has no epochs). The checkpoint persists (theta, u, the
+        outer PRNG key, the kept trajectory, accepts, draws_done) so a
+        killed chain resumes mid-trajectory inside ``sample()``."""
+        import os
+
+        self._ckpt_path = path
+        self._ckpt_every = max(1, int(every_epochs))
+        self._resume_state = None
+        if resume and os.path.exists(path):
+            from ..utils_checkpoint import load_pytree
+
+            self._resume_state = load_pytree(path)
+            return True
+        return False
+
+    def _save_chain(self, theta, u, key, trajectory, accepts, done):
+        path = getattr(self, "_ckpt_path", None)
+        if path is None or done % self._ckpt_every != 0:
+            return
+        from ..utils_checkpoint import save_pytree
+
+        save_pytree(path, {
+            "theta": theta, "u": u, "key": key,
+            "trajectory": jnp.concatenate(
+                [trajectory[0][None]] + trajectory[1:], axis=0
+            ),
+            "accepts": (jnp.concatenate(accepts, axis=0) if accepts
+                        else jnp.zeros((0, self.chains), bool)),
+            "draws_done": jnp.asarray(done),
+        })
+
     def sample(self, num_samples=None, debug=False) -> Ensemble:
         if self._chunk_fn is None:
             self._nlp_fn, self._chunk_fn = self._build_fns()
         if num_samples is None:
             num_samples = self.num_samples
         C = self.chains
-        theta = self._theta0
-        u = self._nlp_fn(theta)
-        trajectory = [theta]
-        accepts = []
-        left = num_samples
-        key = self.next_key()
+        resumed = getattr(self, "_resume_state", None)
+        if resumed is not None and int(resumed["draws_done"]) <= num_samples:
+            theta = self._place_chains(resumed["theta"])
+            u = self._place_chains(resumed["u"])
+            key = resumed["key"]
+            traj0 = jnp.asarray(resumed["trajectory"])
+            trajectory = [traj0[0], traj0[1:]] if traj0.shape[0] > 1 else [traj0[0]]
+            accepts = ([jnp.asarray(resumed["accepts"])]
+                       if resumed["accepts"].shape[0] else [])
+            done = int(resumed["draws_done"])
+            self._resume_state = None
+        else:
+            theta = self._theta0
+            u = self._nlp_fn(theta)
+            trajectory = [theta]
+            accepts = []
+            done = 0
+            key = self.next_key()
+        left = num_samples - done
         # one compiled chunk shape for the whole chain: a final partial chunk
         # is padded to chunk_size and the surplus draws discarded (a shape
         # change would force a second full remote compile of the program)
@@ -283,6 +332,8 @@ class HMC(_Inference):
             trajectory.append(thetas[:k])
             accepts.append(accs[:k])
             left -= k
+            done += k
+            self._save_chain(theta, u, key, trajectory, accepts, done)
         chain = jnp.concatenate(
             [trajectory[0][None]] + trajectory[1:], axis=0
         )  # (1 + num_samples, C, P)

@@ -87,14 +87,32 @@ class PCASubspaceSampler(_Inference):
         spec = self.train.spec
         n = self.train.n
         bsz = self.train.batch_size
-        nb = -(-n // bsz)
-        pad = nb * bsz - n
         module = self.module
         unravel = self.swa._unravel
         mean = self.subspace.mean
         cov_factor = self.subspace.cov_factor
         temperature = self.temperature
         bstats = self.swa._state.batch_stats
+        C = self.chains
+
+        # a mesh 'data' axis > 1 DATA-PARALLELIZES the tempered full-data
+        # log-density (SURVEY §3.4 flags this loop as the hottest in the
+        # system): every evaluation inside the ESS bracket while_loop is
+        # computed shard-wise with one psum. ESS is gradient-free, so the
+        # value-level psum is the whole story (no grad-through-psum hazard
+        # — contrast hmc.py's explicit psum-of-local-grads). The bracket
+        # while_loop stays lock-step across data shards because its
+        # condition only reads psum'd (replicated) values and replicated
+        # keys/thetas.
+        data_shards = 1
+        if (self.mesh is not None and "data" in self.mesh.shape
+                and self.mesh.shape["data"] > 1):
+            data_shards = self.mesh.shape["data"]
+            assert n >= data_shards, (n, data_shards)
+            bsz = max(data_shards, bsz - bsz % data_shards)
+        local_bsz = bsz // data_shards
+        nb = -(-n // bsz)
+        pad = nb * bsz - n
 
         idx = jnp.arange(n)
         if pad:
@@ -113,6 +131,12 @@ class PCASubspaceSampler(_Inference):
                 variables["batch_stats"] = bstats
 
             def body(total, b_idx):
+                if data_shards > 1:
+                    b_idx = jax.lax.dynamic_slice(
+                        b_idx,
+                        (jax.lax.axis_index("data") * local_bsz,),
+                        (local_bsz,),
+                    )
                 valid = (b_idx >= 0).astype(jnp.float32)
                 x = normalize(jnp.take(images, jnp.maximum(b_idx, 0), axis=0), spec)
                 y = jnp.take(labels, jnp.maximum(b_idx, 0), axis=0)
@@ -127,6 +151,8 @@ class PCASubspaceSampler(_Inference):
                 return total + jnp.sum(ce * valid), None
 
             total, _ = jax.lax.scan(body, 0.0, batches)
+            if data_shards > 1:
+                total = jax.lax.psum(total, "data")
             return -total / temperature
 
         # jit the WHOLE ESS transition (bracket while_loop + every full-data
@@ -140,10 +166,51 @@ class PCASubspaceSampler(_Inference):
             return elliptical_slice(key, theta, prior, f, cur_lnpdf=cur)
 
         data_axes = (None,) * 5
-        transition_jit = jax.jit(
-            jax.vmap(transition_impl, in_axes=(0, 0, 0, 0) + data_axes)
-        )
-        lnpdf_jit = jax.jit(jax.vmap(lnpdf, in_axes=(0,) + data_axes))
+
+        def transition_body(keys, theta, prior, cur, images, labels, mean,
+                            cov_factor, bstats):
+            return jax.vmap(transition_impl, in_axes=(0, 0, 0, 0) + data_axes)(
+                keys, theta, prior, cur, images, labels, mean, cov_factor,
+                bstats,
+            )
+
+        def lnpdf_body(theta, images, labels, mean, cov_factor, bstats):
+            return jax.vmap(lnpdf, in_axes=(0,) + data_axes)(
+                theta, images, labels, mean, cov_factor, bstats
+            )
+
+        if data_shards > 1:
+            # shard_map over the full mesh: chain blocks over 'chain' (when
+            # divisible; else replicated), every log-density shard-wise over
+            # 'data'. Keys/thetas replicate across 'data', so each chain's
+            # bracket decisions agree on every data shard.
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import replicate_to_mesh
+
+            chain_shards = self.mesh.shape.get("chain", 1)
+            c_ax = ("chain" if chain_shards > 1 and C % chain_shards == 0
+                    else None)
+            rep = P()
+            state_specs = (P(c_ax),) * 4
+            transition_jit = jax.jit(jax.shard_map(
+                transition_body, mesh=self.mesh,
+                in_specs=state_specs + (rep,) * 5,
+                out_specs=(P(c_ax), P(c_ax)),
+                check_vma=False,
+            ))
+            lnpdf_jit = jax.jit(jax.shard_map(
+                lnpdf_body, mesh=self.mesh,
+                in_specs=(P(c_ax),) + (rep,) * 5,
+                out_specs=P(c_ax),
+                check_vma=False,
+            ))
+            images, labels, mean, cov_factor = replicate_to_mesh(
+                self.mesh, images, labels, mean, cov_factor
+            )
+        else:
+            transition_jit = jax.jit(transition_body)
+            lnpdf_jit = jax.jit(lnpdf_body)
 
         def lnpdf_fn(theta):
             return lnpdf_jit(theta, images, labels, mean, cov_factor, bstats)
@@ -201,13 +268,107 @@ class PCASubspaceSampler(_Inference):
         return (tree_stack([m[0] for m in members]),
                 tree_stack([m[1] for m in members]))
 
+    # -- mid-chain checkpointing ------------------------------------------------
+
+    def enable_auto_checkpoint(self, path: str, every_epochs: int = 10,
+                               resume: bool = True) -> bool:
+        """ESS variant of the elastic-recovery hook: ``every_epochs``
+        counts DRAWS. The checkpoint persists the SUBSPACE (mean,
+        cov_factor, trained batch stats — the expensive SWA phase) plus the
+        ESS state (current theta/lnpdf, PRNG key) and the per-draw
+        subspace coordinates; draws reproject losslessly on resume, so the
+        file stays rank-sized instead of num_draws x P."""
+        import os
+
+        self._ckpt_path = path
+        self._ckpt_every = max(1, int(every_epochs))
+        self._resume_state = None
+        if resume and os.path.exists(path):
+            from ..utils_checkpoint import load_pytree
+
+            self._resume_state = load_pytree(path)
+            return True
+        return False
+
+    def _save_chain(self, draw_thetas):
+        path = getattr(self, "_ckpt_path", None)
+        if path is None or len(draw_thetas) % self._ckpt_every != 0:
+            return
+        from ..utils_checkpoint import save_pytree
+
+        save_pytree(path, {
+            "mean": self.subspace.mean,
+            "cov_factor": self.subspace.cov_factor,
+            "batch_stats": self.swa._state.batch_stats,
+            "theta": self.current_theta,
+            "lnpdf": self.current_lnpdf,
+            "key": self.key,
+            "draw_thetas": jnp.stack(draw_thetas),
+        })
+
+    def _restore_chain(self):
+        """Rebuild phase-1 products + ESS state from a checkpoint; returns
+        the per-draw subspace coordinates already drawn."""
+        r = self._resume_state
+        self._resume_state = None
+        self.subspace = SubspaceModel(
+            jnp.asarray(r["mean"]), jnp.asarray(r["cov_factor"])
+        )
+        if r.get("batch_stats"):
+            self.swa._state = self.swa._state._replace(
+                batch_stats=r["batch_stats"]
+            )
+        self._lnpdf_jit, self._ess_transition = self._build_lnpdf()
+        self.current_theta = jnp.asarray(r["theta"])
+        self.current_lnpdf = jnp.asarray(r["lnpdf"])
+        self.key = jnp.asarray(r["key"])
+        self.subspace_constructed = True
+        return [t for t in jnp.asarray(r["draw_thetas"])]
+
+    def _project_draw(self, theta, update_bn):
+        """Subspace coordinates -> per-chain (params, bstats) members."""
+        C = self.chains
+        ws = jax.vmap(self.subspace)(theta)
+        base_bstats = self.swa._state.batch_stats
+
+        def member(c):
+            params = self.swa._unravel(ws[c])
+            if update_bn and base_bstats:
+                bstats = self.swa._bn_refresh(params, base_bstats)
+            else:
+                bstats = jax.tree.map(lambda x: x.copy(), base_bstats)
+            return params, bstats
+
+        members = [member(c) for c in range(C)]
+        if C == 1:
+            return members[0]
+        from ..util import tree_stack
+
+        return (tree_stack([m[0] for m in members]),
+                tree_stack([m[1] for m in members]))
+
     def sample(self, num_samples=None, val_loader=None, debug_val_loss=False) -> Ensemble:
         from .sgmcmc import SGHMC
 
         if num_samples is None:
             num_samples = self.num_samples
+        resumed = getattr(self, "_resume_state", None)
+        if resumed is not None and resumed["draw_thetas"].shape[0] <= num_samples:
+            draw_thetas = self._restore_chain()
+        else:
+            draw_thetas = []
+        # the final draw carries the BN refresh (pca_subspace.py:139-140),
+        # including when the checkpoint already holds all draws
         draws = [
-            self.sample_iterative(update_bn=(i == num_samples - 1))
-            for i in range(num_samples)
+            self._project_draw(
+                t, update_bn=(len(draw_thetas) == num_samples
+                              and i == num_samples - 1)
+            )
+            for i, t in enumerate(draw_thetas)
         ]
+        while len(draws) < num_samples:
+            last = len(draws) == num_samples - 1
+            draws.append(self.sample_iterative(update_bn=last))
+            draw_thetas.append(self.current_theta)
+            self._save_chain(draw_thetas)
         return SGHMC._ensemble_from_draws(self, draws)
