@@ -33,16 +33,20 @@ def device_sync(tree):
     return np.asarray(jnp.sum(jax.tree.leaves(tree)[0]))
 
 
-def _sghmc_throughput(module, train, reps=REPS, epochs=EPOCHS_PER_REP):
-    """Best-of-reps steps/sec for the compiled SGHMC epoch program, plus
-    XLA-reported flops per training step."""
+def _sghmc_throughput(module, train, reps=REPS, epochs=EPOCHS_PER_REP,
+                      chains=1):
+    """Best-of-reps PER-CHAIN steps/sec for the compiled SGHMC epoch
+    program (``chains > 1`` advances all chains under one vmap — the
+    chip-saturating mode; aggregate throughput is the return value times
+    chains), plus XLA-reported flops per training step per chain."""
     from ursabench_tpu import inference
     from ursabench_tpu.profiling.hw import train_step_cost
 
     hyp = {"lr": 0.01, "prior_std": 1.0, "num_samples": 3, "alpha": 0.1,
            "burn_in_epochs": 1}
     sampler = inference.SGHMC(
-        hyp, model=module, train=train, key=jax.random.PRNGKey(0)
+        hyp, model=module, train=train, key=jax.random.PRNGKey(0),
+        chains=chains,
     )
     flops_step = train_step_cost(module, train.spec.shape, train.batch_size)["flops"]
     # warmup epoch compiles the scan program
@@ -96,6 +100,29 @@ def main():
     except Exception:
         steps_bf16 = tflops_bf16 = mfu_bf16 = None
 
+    # multi-chain section: chains as a vmapped batch axis is the
+    # framework's own answer to the overhead-bound small-model config
+    # (engine.py vmap over the epoch program) — report aggregate steps/s +
+    # MFU next to the single-chain headline. bf16 compute (the TPU dtype;
+    # the per-chain protocol is unchanged).
+    multichain = {}
+    for n_chains in (4, 8):
+        try:
+            per_chain, flops_c = _sghmc_throughput(
+                cfg.build(num_classes, dtype=jnp.bfloat16), train, reps=2,
+                chains=n_chains,
+            )
+            agg = per_chain * n_chains
+            tfl_c, mfu_c = tflops_and_mfu(agg, flops_c)
+            multichain[f"chains{n_chains}"] = {
+                "per_chain_steps_per_sec": round(per_chain, 2),
+                "aggregate_steps_per_sec": round(agg, 2),
+                "tflops": tfl_c,
+                "mfu_pct_of_bf16_peak": mfu_c,
+            }
+        except Exception:
+            pass
+
     # BMA eval throughput: 5-member vmapped ensemble over the test split
     module = cfg.build(num_classes)
     members = 5
@@ -146,7 +173,8 @@ def main():
         "mfu_pct_of_bf16_peak": mfu_pct,
         "bf16_steps_per_sec": round(steps_bf16, 2) if steps_bf16 else None,
         "bf16_tflops": tflops_bf16,
-        "bf16_mfu_pct": mfu_bf16,
+        "bf16_mfu_pct_of_bf16_peak": mfu_bf16,
+        "multichain_bf16": multichain or None,
         "bma_images_per_sec": round(best_imgs, 1) if best_imgs else None,
         "timed_window": f"best of {REPS}x{EPOCHS_PER_REP} epochs",
         "device": str(jax.devices()[0]),

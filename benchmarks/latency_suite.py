@@ -1,0 +1,64 @@
+"""Regenerate the committed latency table with device-amortized numbers.
+
+Per-call rows (protocol-faithful, RPC-floor-bound over the axon tunnel) are
+reused from the existing assets/latency_table.json cache; this driver adds
+the device-amortized K-forward engine measurement (chip-true latency, filled
+achieved_tflops / mfu_pct_of_bf16_peak / HBM-traffic columns) for every
+configuration, then rewrites assets/latency_table.{json,tex}.
+
+K is sized per batch: small batches need a long loop for the loop body to
+dwarf the single fetch; big batches amortize in fewer iterations.
+
+Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/latency_suite.py
+"""
+
+import json
+import os
+import time
+
+ASSET = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "assets",
+                 "latency_table.json")
+)
+TEX = ASSET[:-5] + ".tex"
+
+
+def main():
+    from ursabench_tpu.profiling.latency import ProfileConfig, run_sweep
+    from ursabench_tpu.profiling.tables import make_latex_table
+    from ursabench_tpu.util import enable_compilation_cache
+
+    enable_compilation_cache()
+    t00 = time.perf_counter()
+    for batch_size, loop_k in ((1, 1000), (128, 100)):
+        configs = [
+            ProfileConfig(m, "CIFAR10", prec, s, batch_size)
+            for m in ("PreResNet20", "WideResNet28x10")
+            for prec in ("fp32", "bf16", "int8")
+            for s in (1, 6)
+        ]
+        run_sweep(configs, ASSET, amortize_k=loop_k, per_call=True,
+                  member_strategy="auto")
+        print(f"bs{batch_size} done at {time.perf_counter() - t00:.0f}s",
+              flush=True)
+    with open(ASSET) as f:
+        cache = json.load(f)
+    with open(TEX, "w") as f:
+        f.write(make_latex_table(cache))
+    print("wrote", ASSET, "and", TEX)
+    # headline deltas the table should show
+    g = lambda m, p, s, b: cache[f"{m}.CIFAR10.{p}.ensemble{s}.bs{b}"]
+    wrn1 = g("WideResNet28x10", "bf16", 6, 1)
+    pre1 = g("PreResNet20", "bf16", 6, 1)
+    print(json.dumps({
+        "wrn_bs1_ens6_bf16_device_ms": wrn1["amortized_latency_s"] * 1e3,
+        "pre_bs1_ens6_bf16_device_ms": pre1["amortized_latency_s"] * 1e3,
+        "wrn_over_pre_ratio": wrn1["amortized_latency_s"]
+        / pre1["amortized_latency_s"],
+        "int8_vs_bf16_wrn_bs1_ens6": g("WideResNet28x10", "int8", 6, 1)[
+            "amortized_latency_s"] / wrn1["amortized_latency_s"],
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

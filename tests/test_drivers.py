@@ -339,3 +339,84 @@ def test_auto_checkpoint_resume(tmp_path):
     _np.testing.assert_allclose(a, b)
     s2.sample_iterative()  # continues the chain
     assert s2.epochs_run == epochs_done + 1
+
+
+def test_hmc_mid_chain_checkpoint_resume(tmp_path):
+    """Kill-and-resume for HMC (VERDICT r2 weak #7): a chain checkpointed
+    every draw and killed mid-trajectory resumes into the SAME final
+    ensemble as an uninterrupted run (deterministic given the saved key)."""
+    import jax
+
+    from ursabench_tpu import data, inference, models
+
+    splits, C = data.loaders("MNIST", None, batch_size=32,
+                             use_validation=False, synthetic_n_train=64,
+                             synthetic_n_test=32)
+    module = models.get_model("MLP200MNIST").build(C)
+    hyp = {"step_size": 5e-3, "num_samples": 6, "L": 1, "tau": 1.0,
+           "burn": 0, "mass": 1.0, "draw_chunk": 2, "grad_batch": 64}
+    ckpt = str(tmp_path / "hmc.npz")
+
+    full = inference.HMC(hyp, model=module, train=splits["train"],
+                         key=jax.random.PRNGKey(4))
+    ens_full = full.sample()
+
+    # interrupted run: checkpoint every 2 draws, stop after 4 of 6
+    part = inference.HMC(hyp, model=module, train=splits["train"],
+                         key=jax.random.PRNGKey(4))
+    part.enable_auto_checkpoint(ckpt, every_epochs=2, resume=False)
+    part.sample(num_samples=4)  # leaves a draws_done=4 checkpoint
+
+    res = inference.HMC(hyp, model=module, train=splits["train"],
+                        key=jax.random.PRNGKey(4))
+    assert res.enable_auto_checkpoint(ckpt, every_epochs=2, resume=True)
+    ens_res = res.sample()  # 2 remaining draws
+    assert ens_res.num_members == ens_full.num_members
+    for a, b in zip(jax.tree.leaves(ens_res.params),
+                    jax.tree.leaves(ens_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_pca_ess_mid_chain_checkpoint_resume(tmp_path):
+    """Kill-and-resume for PCA-ESS: the checkpoint carries the subspace
+    (the expensive SWA phase) + per-draw subspace coordinates; the resumed
+    run skips phase 1 entirely and finishes the remaining draws into the
+    same ensemble as an uninterrupted run."""
+    import jax
+
+    from ursabench_tpu import data, inference, models
+
+    splits, C = data.loaders("MNIST", None, batch_size=32,
+                             use_validation=False, synthetic_n_train=64,
+                             synthetic_n_test=32)
+    module = models.get_model("MLP200MNIST").build(C)
+    hyp = {"swag_lr": 0.01, "swag_wd": 1e-4, "lr_init": 0.02,
+           "num_samples": 4, "swag_momentum": 0.9, "swag_burn_in_epochs": 1,
+           "num_swag_iterates": 3, "rank": 2, "max_rank": 3,
+           "temperature": 100.0, "prior_std": 1.0}
+    ckpt = str(tmp_path / "ess.npz")
+
+    full = inference.PCASubspaceSampler(hyp, model=module,
+                                        train=splits["train"],
+                                        key=jax.random.PRNGKey(6))
+    ens_full = full.sample()
+
+    part = inference.PCASubspaceSampler(hyp, model=module,
+                                        train=splits["train"],
+                                        key=jax.random.PRNGKey(6))
+    part.enable_auto_checkpoint(ckpt, every_epochs=1, resume=False)
+    part.sample(num_samples=2)  # 2 of 4 draws checkpointed
+
+    res = inference.PCASubspaceSampler(hyp, model=module,
+                                       train=splits["train"],
+                                       key=jax.random.PRNGKey(6))
+    assert res.enable_auto_checkpoint(ckpt, every_epochs=1, resume=True)
+    assert not res.subspace_constructed  # phase 1 NOT run yet
+    ens_res = res.sample()
+    assert res.subspace_constructed
+    assert ens_res.num_members == ens_full.num_members
+    for a, b in zip(jax.tree.leaves(ens_res.params),
+                    jax.tree.leaves(ens_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -8,10 +8,12 @@ run_seq_hypOpt.py:7) — here all three searchers export cleanly.
 from .bayesopt import BayesOpt
 from .gp import GP
 from .search import GridSearch, RandomSearch, _HypOpt
-from .vectorized import batched_bayesopt_sghmc, vectorized_random_search
+from .vectorized import (batched_bayesopt, batched_bayesopt_sghmc,
+                         vectorized_random_search)
 
 __all__ = ["RandomSearch", "GridSearch", "BayesOpt", "GP", "_HypOpt",
-           "vectorized_random_search", "batched_bayesopt_sghmc"]
+           "vectorized_random_search", "batched_bayesopt",
+           "batched_bayesopt_sghmc"]
 
 
 def get_hypopt(name: str):

@@ -1,6 +1,8 @@
 """Vectorized random/grid search: evaluate K hyperparameter configurations
-in one device program via inference.vectorized.SGHMCSweep — the TPU-native
-replacement for run_par_hypOpt.py's subprocess fan-out."""
+in one device program via inference.vectorized.MethodSweep — the TPU-native
+replacement for run_par_hypOpt.py's subprocess fan-out (which was
+method-agnostic, hyper_optimization.py:171-201 — so is this: any of
+SGHMC/SGLD/cSGHMC/cSGLD/SGD sweeps through the same epoch program)."""
 
 from __future__ import annotations
 
@@ -9,7 +11,7 @@ from typing import Callable, Sequence
 import jax
 import numpy as np
 
-from ..inference.vectorized import SGHMCSweep
+from ..inference.vectorized import MethodSweep
 from .search import RandomSearch, _parse_domain
 
 
@@ -21,12 +23,16 @@ def vectorized_random_search(
     N_evaluations: int = 10,
     seed: int = 123,
     sgld: bool = False,
+    inference_method: str = "SGHMC",
 ):
     """Draw N configs uniformly over the domain (logspace-aware), run them
-    as one SGHMCSweep, return (best_hyp, best_obj, hyp_list, obj_list).
+    as one MethodSweep, return (best_hyp, best_obj, hyp_list, obj_list).
 
-    The domain must pin 'num_samples' and 'burn_in_epochs' as constants
-    (shared schedule length); 'lr', 'prior_std', 'alpha' may vary.
+    ``inference_method`` picks the sampler (SGHMC/SGLD/cSGHMC/cSGLD/SGD);
+    the domain must pin the method's schedule-shape integers as constants
+    (e.g. 'num_samples'/'burn_in_epochs' for SGHMC, the cycle structure for
+    cSGHMC); continuous hypers may vary. ``sgld=True`` is back-compat for
+    inference_method='SGLD'-style alpha pinning.
     """
     rs = RandomSearch.__new__(RandomSearch)
     (rs.hyp_names, rs.hyp_names_vary, rs.param_space_vary_type,
@@ -39,8 +45,9 @@ def vectorized_random_search(
     if sgld:
         for h in hyps:
             h["alpha"] = 1.0
-    sweep = SGHMCSweep(hyps, model=module, train=train,
-                       key=jax.random.PRNGKey(seed))
+    sweep = MethodSweep(hyps, model=module, train=train,
+                        key=jax.random.PRNGKey(seed),
+                        method=inference_method)
     objs = _finite_or_neg_inf(sweep.objectives(task_factory))
     i = int(np.argmax(objs))
     return hyps[i], float(objs[i]), hyps, [float(o) for o in objs]
@@ -51,7 +58,7 @@ def _finite_or_neg_inf(objs):
     return [float(o) if np.isfinite(o) else float("-inf") for o in objs]
 
 
-def batched_bayesopt_sghmc(
+def batched_bayesopt(
     domain: Sequence[dict],
     module,
     train,
@@ -63,11 +70,12 @@ def batched_bayesopt_sghmc(
     beta: float = 0.1,
     sgld: bool = False,
     verbose: int = 0,
+    inference_method: str = "SGHMC",
 ):
     """TPU-native batched Bayesian optimization (BASELINE.md config 5):
     each BO round proposes q diverse UCB candidates and evaluates ALL of
-    them in one vectorized SGHMCSweep — the per-round wall time is ~one
-    configuration's training run instead of q.
+    them in one vectorized MethodSweep (any epoch-driven method) — the
+    per-round wall time is ~one configuration's training run instead of q.
 
     Returns (best_hyp, best_obj, hyp_list, obj_list).
     """
@@ -87,8 +95,9 @@ def batched_bayesopt_sghmc(
         if sgld:
             for h in hyps:
                 h["alpha"] = 1.0
-        sweep = SGHMCSweep(hyps, model=module, train=train,
-                           key=jax.random.PRNGKey(seed))
+        sweep = MethodSweep(hyps, model=module, train=train,
+                            key=jax.random.PRNGKey(seed),
+                            method=inference_method)
         return hyps, _finite_or_neg_inf(sweep.objectives(task_factory))
 
     hyp_list, obj_list = evaluate(pts)
@@ -123,3 +132,8 @@ def batched_bayesopt_sghmc(
 
     i = int(np.argmax(obj_list))
     return hyp_list[i], float(obj_list[i]), hyp_list, [float(o) for o in obj_list]
+
+
+def batched_bayesopt_sghmc(*args, **kwargs):
+    """Back-compat alias for batched_bayesopt (SGHMC default)."""
+    return batched_bayesopt(*args, **kwargs)

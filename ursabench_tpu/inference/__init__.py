@@ -14,12 +14,14 @@ from .sgd_map import SGD, DeepEnsemble, MCdropout
 from .sgmcmc import SGHMC, SGLD, cSGHMC, cSGLD
 from .subspaces import Subspace, SubspaceModel
 from .swa import SWA
+from .vectorized import MethodSweep, SGHMCSweep
 from .swag import SWAG
 
 __all__ = [
     "_Inference", "Ensemble", "SGHMC", "SGLD", "cSGHMC", "cSGLD",
     "SGD", "DeepEnsemble", "MCdropout", "SWA", "SWAG", "PCASubspaceSampler",
     "HMC", "Subspace", "SubspaceModel", "distill_ensemble",
+    "MethodSweep", "SGHMCSweep",
 ]
 
 

@@ -58,6 +58,7 @@ def make_epoch_fn(
     use_augment: bool = True,
     chains: int = 1,
     mesh=None,
+    vmap_hyp: bool = False,
 ):
     """Build ``epoch_fn(state, epoch, noise_on, hyp) -> (state, mean_loss)``:
     one full shuffled epoch as a single jitted scan, with all continuous
@@ -65,7 +66,10 @@ def make_epoch_fn(
     per sampler instance; hyperopt sweeps pay zero recompiles). With
     ``chains > 1`` the state carries a leading chain axis and the whole
     epoch program is vmapped — independent MCMC chains advance in one
-    device program.
+    device program. ``vmap_hyp=True`` additionally maps the hyp dict's
+    leaves over the same leading axis: the chain axis becomes a CONFIG
+    axis (each "chain" trains under its own hyperparameters — the
+    vectorized-sweep machinery, inference/vectorized.py).
 
     With a ('chain', 'data') ``mesh`` whose data axis is >1, the SAME epoch
     protocol becomes a shard_map program: chain states sharded over 'chain',
@@ -74,10 +78,12 @@ def make_epoch_fn(
     traced-hyp contract is identical, so update_hyp never recompiles here
     either)."""
     if (mesh is not None and "data" in mesh.shape and mesh.shape["data"] > 1):
+        assert not vmap_hyp, "vmap_hyp sweeps don't take a data mesh (yet)"
         return _make_sharded_epoch_fn(
             module, split, lr_fn=lr_fn, update_fn=update_fn,
             use_augment=use_augment, chains=chains, mesh=mesh,
         )
+    assert not (vmap_hyp and chains == 1), "vmap_hyp requires chains/K > 1"
     images, labels = split.device_arrays()
     spec = split.spec
     n = split.n
@@ -141,8 +147,10 @@ def make_epoch_fn(
     # for CIFAR, recompile on any data change); as arguments the compiled
     # program is shape-only and the compilation cache survives across
     # datasets and processes.
+    hyp_axis = 0 if vmap_hyp else None
     fn = (epoch_impl if chains == 1
-          else jax.vmap(epoch_impl, in_axes=(0, None, None, None, None, None)))
+          else jax.vmap(epoch_impl, in_axes=(0, None, None, None, None,
+                                             hyp_axis)))
     jitted = jax.jit(fn, donate_argnums=(0,))
 
     def epoch_fn(state, epoch, noise_on, hyp):

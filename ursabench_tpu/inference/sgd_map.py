@@ -84,6 +84,8 @@ def one_cycle_lr(max_lr: float, total_steps: int, pct_start: float = 0.3,
 
 class SGD(_Inference):
     _DEFAULT_HYP = {"lr": 0.1, "epochs": 10, "momentum": 0.9, "weight_decay": 0.001}
+    _LR_FN = staticmethod(_cosine_hyp_lr)
+    _UPDATE_FN = staticmethod(_sgd_hyp_update)
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,

@@ -79,6 +79,9 @@ class SGHMC(_Inference):
     _FORCE_ALPHA: Optional[float] = None  # SGLD pins this to 1.0
     _ETA_MIN_FRACTION_INIT = 0.0  # ctor uses torch default eta_min=0 (sghmc.py:44)
     _ETA_MIN_FRACTION_UPDATE = 0.5  # update_hyp sets eta_min=lr/2 (sghmc.py:61-63)
+    # the traced-hyp epoch contract, reused by the vectorized config sweep
+    _LR_FN = staticmethod(_cosine_hyp_lr)
+    _UPDATE_FN = staticmethod(_sghmc_hyp_update)
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
@@ -223,6 +226,8 @@ class cSGHMC(_Inference):
         "cycle_length": 20, "burn_in_epochs": 5, "num_cycles": 10, "alpha": 1.0,
     }
     _FORCE_ALPHA: Optional[float] = None
+    _LR_FN = staticmethod(_cyclic_hyp_lr)
+    _UPDATE_FN = staticmethod(_sghmc_hyp_update)
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,

@@ -1,14 +1,22 @@
-"""Vectorized multi-config SG-MCMC sweeps.
+"""Vectorized multi-config sweeps for the epoch-driven samplers.
 
 The reference parallelizes hyperparameter sweeps by launching one OS
 process per configuration (run_par_hypOpt.py:78-79 + subprocess command
-lists). On TPU the right construct is config-as-a-batch-axis: K
-configurations' sampler states advance in ONE device program — the epoch
-body is vmapped over (state, lr_0, momentum, weight_decay) so XLA batches
-the K model updates onto the same kernels (SURVEY.md §2.9 "config
-parallelism"; BASELINE.md config 5). Constraints: all configs share the
-schedule length (burn_in + num_samples) and architecture; continuous hypers
-(lr, prior_std, alpha) vary freely per config.
+lists, method-agnostic via hyper_optimization.py:171-201). On TPU the
+right construct is config-as-a-batch-axis: K configurations' sampler
+states advance in ONE device program — the shared epoch body
+(engine.make_epoch_fn with ``vmap_hyp=True``) is vmapped over
+(state, hyp) so XLA batches the K model updates onto the same kernels
+(SURVEY.md §2.9 "config parallelism"; BASELINE.md config 5).
+
+``MethodSweep`` is parameterized over the inference method exactly the way
+``make_epoch_fn`` is — each sampler class carries its (``_LR_FN``,
+``_UPDATE_FN``) traced-hyp contract, and the sweep reuses the class's own
+``_hyp_scalars`` construction and harvest protocol, so SGHMC / SGLD /
+cSGHMC / cSGLD / SGD all sweep through the same machinery. Constraints:
+all configs share the schedule-shape integers (burn_in/num_samples,
+cycle structure) and the architecture; continuous hypers (lr, prior_std,
+alpha, momentum, weight_decay) vary freely per config.
 """
 
 from __future__ import annotations
@@ -16,164 +24,141 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import jax
-import jax.numpy as jnp
-import optax
 
-from ..data.arrays import DataSplit
-from ..data.transforms import augment_normalized, normalize
-from ..ops.sgmcmc import sghmc_update
-from ..util import tree_stack, tree_zeros_like
-from .engine import TrainState, init_variables
+from ..util import tree_stack
+from .engine import make_epoch_fn
 from .ensemble import Ensemble
 
-
-def make_sweep_epoch_fn(module, split: DataSplit, t_max: int,
-                        eta_min_fraction: float = 0.0):
-    """epoch_fn(states, epoch, noise_on, lr0, momentum, wd_over_n) with a
-    leading K config axis on states and the hyper vectors."""
-    images, labels = split.device_arrays()
-    spec = split.spec
-    n = split.n
-    bsz = split.batch_size
-    nb = -(-n // bsz)
-    pad = nb * bsz - n
-    n_train = float(n)
-
-    def loss_fn(params, batch_stats, x, y, dropout_key):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        logits, mutated = module.apply(
-            variables, x, train=True, mutable=["batch_stats"],
-            rngs={"dropout": dropout_key},
-        )
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-        return ce.mean(), mutated.get("batch_stats", {})
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-    def epoch_impl(state: TrainState, images, labels, epoch, noise_on, lr0,
-                   momentum, wd_over_n):
-        key, k_perm, k_aug, k_noise, k_drop = jax.random.split(state.key, 5)
-        perm = jax.random.permutation(k_perm, n)
-        if pad:
-            perm = jnp.concatenate([perm, perm[:pad]])
-        batch_idx = perm.reshape(nb, bsz)
-        lr = (eta_min_fraction * lr0) + (lr0 - eta_min_fraction * lr0) * 0.5 * (
-            1.0 + jnp.cos(jnp.pi * epoch / t_max)
-        )
-
-        def body(carry, inp):
-            params, mom, bstats, step = carry
-            bi, idx = inp
-            x = jnp.take(images, idx, axis=0)
-            y = jnp.take(labels, idx, axis=0)
-            x = normalize(x, spec)
-            if spec.random_crop_pad or spec.random_flip:
-                x = augment_normalized(jax.random.fold_in(k_aug, bi), x, spec)
-            (loss, new_bstats), grads = grad_fn(
-                params, bstats, x, y, jax.random.fold_in(k_drop, bi)
-            )
-            params, mom = sghmc_update(
-                params, mom, grads, lr=lr, momentum=momentum,
-                wd_over_n=wd_over_n, n_train=n_train, noise_on=noise_on,
-                is_first_step=(step == 0), key=jax.random.fold_in(k_noise, bi),
-            )
-            if not new_bstats:
-                new_bstats = bstats
-            return (params, mom, new_bstats, step + 1), loss
-
-        init = (state.params, state.momentum, state.batch_stats, state.step)
-        (params, mom, bstats, step), losses = jax.lax.scan(
-            body, init, (jnp.arange(nb), batch_idx)
-        )
-        return TrainState(params, mom, bstats, key, step), losses.mean()
-
-    # data as jit arguments (not closure constants) — see engine.make_epoch_fn
-    fn = jax.vmap(epoch_impl, in_axes=(0, None, None, None, None, 0, 0, 0))
-    jitted = jax.jit(fn, donate_argnums=(0,))
-
-    def epoch_fn(state, epoch, noise_on, lr0, momentum, wd_over_n):
-        return jitted(state, images, labels, epoch, noise_on, lr0, momentum,
-                      wd_over_n)
-
-    return epoch_fn
+# method name -> sampler class (resolved lazily to avoid import cycles)
+_METHODS = ("SGHMC", "SGLD", "cSGHMC", "cSGLD", "SGD")
 
 
-class SGHMCSweep:
-    """K SGHMC configurations sampled simultaneously.
+def _method_class(name: str):
+    from . import sgd_map, sgmcmc
 
-    hyp_list: K dicts {'lr', 'prior_std', 'alpha', 'num_samples',
-    'burn_in_epochs'} — num_samples and burn_in_epochs must agree.
-    SGLD sweep = alpha 1.0 in every config.
+    try:
+        return {
+            "SGHMC": sgmcmc.SGHMC, "SGLD": sgmcmc.SGLD,
+            "cSGHMC": sgmcmc.cSGHMC, "cSGLD": sgmcmc.cSGLD,
+            "SGD": sgd_map.SGD,
+        }[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown sweep method {name!r}; supported: {_METHODS}"
+        ) from None
+
+
+# schedule-shape fields that must agree across configs per method (the
+# compiled program's trip counts / harvest points depend on them)
+_SHARED_FIELDS = {
+    "SGHMC": ("num_samples", "burn_in_epochs"),
+    "SGLD": ("num_samples", "burn_in_epochs"),
+    "cSGHMC": ("num_samples_per_cycle", "cycle_length", "burn_in_epochs",
+               "num_cycles"),
+    "cSGLD": ("num_samples_per_cycle", "cycle_length", "burn_in_epochs",
+              "num_cycles"),
+    "SGD": ("burn_in_epochs",),
+}
+
+
+class MethodSweep:
+    """K configurations of one epoch-driven sampler advance simultaneously.
+
+    Per-config sampler instances supply the exact per-method state init and
+    traced-hyp scalars (identical to running each config alone with the
+    same per-config key); the sweep stacks them on a leading K axis and
+    drives config 0's protocol (noise gates / harvest schedule — shared by
+    construction) against one ``vmap_hyp`` epoch program.
     """
 
     def __init__(self, hyp_list: Sequence[dict], model=None, train=None,
-                 key=None, eta_min_fraction: float = 0.0):
+                 key=None, method: str = "SGHMC",
+                 eta_min_fraction: float = 0.0):
         assert len(hyp_list) >= 1
+        del eta_min_fraction  # ctor semantics == each sampler's ctor (0.0)
         self.module = model
         self.train = train
+        self.method = method
         self.hyp_list = list(hyp_list)
         self.K = len(hyp_list)
-        self.num_samples = int(hyp_list[0]["num_samples"])
-        self.burn_in_epochs = int(hyp_list[0]["burn_in_epochs"])
-        for h in hyp_list:
-            assert int(h["num_samples"]) == self.num_samples
-            assert int(h["burn_in_epochs"]) == self.burn_in_epochs
-        self.lr0 = jnp.asarray([float(h["lr"]) for h in hyp_list])
-        self.momentum = jnp.asarray(
-            [1.0 - float(h.get("alpha", 0.1)) for h in hyp_list]
-        )
-        self.wd_over_n = jnp.asarray(
-            [1.0 / float(h["prior_std"]) ** 2 / train.n for h in hyp_list]
-        )
+        cls = _method_class(method)
         key = key if key is not None else jax.random.PRNGKey(0)
-        t_max = max(self.burn_in_epochs + self.num_samples, 1)
-        self._epoch_fn = make_sweep_epoch_fn(
-            self.module, self.train, t_max, eta_min_fraction
+        keys = jax.random.split(key, self.K)
+        # per-config samplers: canonical _hyp_scalars + state init per
+        # method (their lazily-jitted single-config epoch fns never compile)
+        self._samplers = [
+            cls(dict(h), model=model, train=train, key=keys[i])
+            for i, h in enumerate(hyp_list)
+        ]
+        proto = self._samplers[0]
+        for s in self._samplers[1:]:
+            for f in _SHARED_FIELDS[method]:
+                assert getattr(s, f) == getattr(proto, f), (
+                    f"sweep configs must share {f!r}: "
+                    f"{getattr(s, f)} != {getattr(proto, f)}"
+                )
+        self._proto = proto
+        self._state = tree_stack([s._state for s in self._samplers])
+        self._hyp_vec = tree_stack(
+            [s._hyp_scalars for s in self._samplers]
         )
-
-        def one(k):
-            k_init, k_run = jax.random.split(k)
-            variables = init_variables(self.module, k_init, train.spec.shape)
-            params = variables["params"]
-            return TrainState(
-                params=params,
-                momentum=tree_zeros_like(params),
-                batch_stats=variables.get("batch_stats", {}),
-                key=k_run,
-                step=jnp.zeros((), jnp.int32),
-            )
-
-        self._state = jax.vmap(one)(jax.random.split(key, self.K))
+        for s in self._samplers:  # K per-config param copies now live in
+            s._state = None       # the stacked state; drop the originals
+        self._epoch_fn = make_epoch_fn(
+            self.module, self.train, lr_fn=cls._LR_FN,
+            update_fn=cls._UPDATE_FN, chains=self.K, vmap_hyp=True,
+        )
         self.epochs_run = 0
 
-    def _run_epoch(self):
+    # -- epoch driving (config 0's protocol; schedules agree by ctor) ------
+
+    def _run_epoch(self, noise_on: float = 1.0):
+        import jax.numpy as jnp
+
         self._state, loss = self._epoch_fn(
             self._state, jnp.asarray(self.epochs_run, jnp.float32),
-            jnp.asarray(1.0), self.lr0, self.momentum, self.wd_over_n,
+            jnp.asarray(noise_on, jnp.float32), self._hyp_vec,
         )
         self.epochs_run += 1
+        self._proto.epochs_run = self.epochs_run  # drive protocol probes
         return loss
 
-    def sample(self) -> List[Ensemble]:
-        """Runs the full SGHMC protocol for every config at once; returns a
-        per-config list of Ensembles (each num_samples members)."""
-        draws = []
+    def _harvest(self):
         copy = lambda t: jax.tree.map(lambda x: x.copy(), t)
-        for s in range(self.num_samples):
-            epochs = self.burn_in_epochs + 1 if s == 0 else 1
-            for _ in range(epochs):
-                self._run_epoch()
-            draws.append((copy(self._state.params), copy(self._state.batch_stats)))
+        return copy(self._state.params), copy(self._state.batch_stats)
+
+    def sample(self) -> List[Ensemble]:
+        """Runs the full per-method protocol for every config at once
+        (mirroring each method's own sample_iterative); returns a
+        per-config list of Ensembles."""
+        draws = []
+        m, proto = self.method, self._proto
+        if m in ("SGHMC", "SGLD"):  # burn+1 then 1/draw, noise always on
+            for s in range(proto.num_samples):
+                for _ in range(proto.burn_in_epochs + 1 if s == 0 else 1):
+                    self._run_epoch(noise_on=1.0)
+                draws.append(self._harvest())
+        elif m == "SGD":  # single MAP draw, no Langevin noise
+            for _ in range(proto.burn_in_epochs + 1):
+                self._run_epoch(noise_on=0.0)
+            draws.append(self._harvest())
+        else:  # cSGHMC/cSGLD: cycle-tail noise gate + harvest schedule,
+            # probed on config 0's counters (shared schedule by ctor)
+            total = proto.num_samples_per_cycle * proto.num_cycles
+            while len(draws) < total:
+                noise = 1.0 if proto._noise_on() else 0.0
+                self._run_epoch(noise_on=noise)
+                if proto._harvested():
+                    draws.append(self._harvest())
         params = tree_stack([d[0] for d in draws])  # (S, K, ...)
         bstats = tree_stack([d[1] for d in draws])
         has_bn = bool(jax.tree.leaves(bstats))
+        S = len(draws)
         out = []
         for k in range(self.K):
             pk = jax.tree.map(lambda x: x[:, k], params)
             bk = jax.tree.map(lambda x: x[:, k], bstats) if has_bn else None
-            out.append(Ensemble(self.module, pk, bk, self.num_samples))
+            out.append(Ensemble(self.module, pk, bk, S))
         return out
 
     def objectives(self, task_factory) -> List[float]:
@@ -186,3 +171,13 @@ class SGHMCSweep:
             task.reset()
             objs.append(task.update_statistics(ens, output_performance=True))
         return objs
+
+
+class SGHMCSweep(MethodSweep):
+    """Back-compat alias: MethodSweep(method='SGHMC'). SGLD sweep = alpha
+    1.0 in every config (or method='SGLD')."""
+
+    def __init__(self, hyp_list: Sequence[dict], model=None, train=None,
+                 key=None, eta_min_fraction: float = 0.0):
+        super().__init__(hyp_list, model=model, train=train, key=key,
+                         method="SGHMC", eta_min_fraction=eta_min_fraction)

@@ -42,14 +42,26 @@ class ProfileConfig:
                 f".ensemble{self.ensemble_size}.bs{self.batch_size}")
 
 
-def _prep_forward(module, params, batch_stats, precision):
+def _prep_forward(module, params, batch_stats, precision,
+                  member_strategy="vmap"):
     """Shared engine front-end: returns (fn, params, batch_stats) where
     fn(params, batch_stats, x) -> posterior-mean probabilities. bf16 casts
     params + activations (fp32 accumulation on the MXU via
     preferred_element_type default). 'int8' stores kernels as symmetric
     per-output-channel int8 and dequantizes to bf16 inside the engine
     (trtexec --int8 analogue; weights occupy 4x less HBM, the batch-1
-    bound) — see quantize.py."""
+    bound) — see quantize.py.
+
+    ``member_strategy`` picks how the S ensemble members execute:
+    'vmap' batches them into one program (weights become a batched conv
+    operand); 'scan' runs them sequentially inside one lax.scan, reusing
+    the single-member kernels — at small batch, XLA's batched-conv path
+    for vmapped WEIGHTS is far slower than S sequential forwards
+    (measured on v5e, WRN-28x10 bs1 S=6: 4.24 ms vmap vs 1.63 ms scan
+    bf16, 1.22 ms scan int8), so 'scan' is the batch-1 serving engine;
+    at large batch the batched path wins slightly (61.8 vs ~64 ms at
+    bs128 S=6). 'auto' (profile_config) picks scan iff S > 1 and
+    batch_size <= 8."""
     dtype = jnp.bfloat16 if precision in ("bf16", "int8") else jnp.float32
     cast = lambda t: jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
@@ -65,6 +77,8 @@ def _prep_forward(module, params, batch_stats, precision):
     if batch_stats is not None:
         batch_stats = cast(batch_stats)
 
+    n_members = jax.tree.leaves(params)[0].shape[0]
+
     def fn(params, batch_stats, x):
         def one(p, b):
             variables = {"params": decode(p)}  # per-member: dequant fuses
@@ -72,14 +86,47 @@ def _prep_forward(module, params, batch_stats, precision):
                 variables["batch_stats"] = b
             return module.apply(variables, x.astype(dtype), train=False)
 
+        def probs_of(p, b):
+            # posterior-mean probabilities (consistent with export.py)
+            return jnp.exp(
+                jax.nn.log_softmax(one(p, b).astype(jnp.float32), axis=-1)
+            )
+
+        if member_strategy == "scan":
+            m0 = jax.tree.map(lambda a: a[0], params)
+            b0 = (None if batch_stats is None
+                  else jax.tree.map(lambda a: a[0], batch_stats))
+            out = jax.eval_shape(probs_of, m0, b0)
+            zero = jnp.zeros(out.shape, jnp.float32)
+            if batch_stats is None:
+                body = lambda acc, p: (acc + probs_of(p, None), None)
+                total, _ = jax.lax.scan(body, zero, params)
+            else:
+                body = lambda acc, pb: (acc + probs_of(*pb), None)
+                total, _ = jax.lax.scan(body, zero, (params, batch_stats))
+            return total / n_members
+
+        assert member_strategy == "vmap", member_strategy
         bs_axis = None if batch_stats is None else 0
-        logits = jax.vmap(one, in_axes=(0, bs_axis))(params, batch_stats)
-        # posterior-mean probabilities (consistent with export.py engines)
-        return jnp.exp(
-            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        ).mean(0)
+        probs = jax.vmap(probs_of, in_axes=(0, bs_axis))(params, batch_stats)
+        return probs.mean(0)
 
     return fn, params, batch_stats
+
+
+def _scale_scan_cost(engine, params, member_strategy):
+    """XLA's cost analysis counts a scan body ONCE; for the member-scan
+    engine the body is one member's forward, so flops/bytes must scale by
+    S for the whole-ensemble columns to be honest."""
+    if member_strategy != "scan":
+        return
+    import jax as _jax
+
+    n = _jax.tree.leaves(params)[0].shape[0]
+    if engine.cost_flops:
+        engine.cost_flops *= n
+    if engine.cost_bytes:
+        engine.cost_bytes *= n
 
 
 def _attach_cost(engine, compiled):
@@ -100,20 +147,22 @@ def _attach_cost(engine, compiled):
 
 
 def build_engine(module, params, batch_stats, batch_size, input_shape,
-                 precision="fp32"):
-    """AOT-compile the vmapped BMA forward — the 'TensorRT engine build'.
+                 precision="fp32", member_strategy="vmap"):
+    """AOT-compile the BMA forward — the 'TensorRT engine build'.
     Returns (compiled_fn, example_input)."""
     fn, params, batch_stats = _prep_forward(module, params, batch_stats,
-                                            precision)
+                                            precision, member_strategy)
     x = jnp.zeros((batch_size,) + tuple(input_shape), jnp.float32)
     compiled = jax.jit(fn).lower(params, batch_stats, x).compile()
     engine = lambda xb: compiled(params, batch_stats, xb)
     _attach_cost(engine, compiled)
+    _scale_scan_cost(engine, params, member_strategy)
     return engine, x
 
 
 def build_amortized_engine(module, params, batch_stats, batch_size,
-                           input_shape, precision="fp32", loop_k=100):
+                           input_shape, precision="fp32", loop_k=100,
+                           member_strategy="vmap"):
     """K serial forwards inside ONE jitted program — the chip-true engine.
 
     The per-call protocol (time_engine) is faithful to the TensorRT
@@ -136,7 +185,7 @@ def build_amortized_engine(module, params, batch_stats, batch_size,
     counts a while-loop body once — here that is exactly one forward).
     """
     fn, params, batch_stats = _prep_forward(module, params, batch_stats,
-                                            precision)
+                                            precision, member_strategy)
 
     def fn_k(params, batch_stats, x):
         def body(_, carry):
@@ -154,6 +203,7 @@ def build_amortized_engine(module, params, batch_stats, batch_size,
     compiled = jax.jit(fn_k).lower(params, batch_stats, x).compile()
     engine_k = lambda xb: compiled(params, batch_stats, xb)
     _attach_cost(engine_k, compiled)
+    _scale_scan_cost(engine_k, params, member_strategy)
     engine_k.loop_k = loop_k
     return engine_k, x
 
@@ -222,7 +272,8 @@ def _cost_fields(flops, bytes_, latency_s):
 
 
 def profile_config(cfg: ProfileConfig, trace_dir: str | None = None,
-                   amortize_k: int = 0, per_call: bool = True) -> dict:
+                   amortize_k: int = 0, per_call: bool = True,
+                   member_strategy: str = "vmap") -> dict:
     """Measure one engine configuration.
 
     ``per_call=True`` runs the protocol-faithful per-call timing (every rep
@@ -244,11 +295,16 @@ def profile_config(cfg: ProfileConfig, trace_dir: str | None = None,
     if variables[0].get("batch_stats"):
         bstats = tree_stack([v["batch_stats"] for v in variables])
 
-    out = {**asdict(cfg), "device": str(jax.devices()[0])}
+    if member_strategy == "auto":
+        member_strategy = ("scan" if cfg.ensemble_size > 1
+                           and cfg.batch_size <= 8 else "vmap")
+    out = {**asdict(cfg), "device": str(jax.devices()[0]),
+           "member_strategy": member_strategy}
     flops = bytes_ = None
     if per_call:
         engine, x = build_engine(
-            module, params, bstats, cfg.batch_size, spec.shape, cfg.precision
+            module, params, bstats, cfg.batch_size, spec.shape,
+            cfg.precision, member_strategy,
         )
         if trace_dir:
             with jax.profiler.trace(trace_dir):
@@ -265,6 +321,7 @@ def profile_config(cfg: ProfileConfig, trace_dir: str | None = None,
         engine_k, x = build_amortized_engine(
             module, params, bstats, cfg.batch_size, spec.shape,
             cfg.precision, loop_k=amortize_k,
+            member_strategy=member_strategy,
         )
         amean, astd = time_amortized(engine_k, x)
         if flops is None:
@@ -326,7 +383,8 @@ def profile_prediction(cfg: ProfileConfig, splits, num_classes: int,
 
 
 def run_sweep(configs, cache_path: str, trace_dir: str | None = None,
-              amortize_k: int = 0, per_call: bool = True) -> dict:
+              amortize_k: int = 0, per_call: bool = True,
+              member_strategy: str = "vmap") -> dict:
     """JSON-cached sweep with resume (run_prediction.py:127-141 pattern).
     A cached entry is re-measured only for the missing mode (e.g. a
     round-2 per-call-only cache gains amortized fields in place)."""
@@ -345,7 +403,8 @@ def run_sweep(configs, cache_path: str, trace_dir: str | None = None,
               f"(per_call={need_call}, amortize_k={amortize_k if need_amort else 0})")
         res = profile_config(cfg, trace_dir,
                              amortize_k=amortize_k if need_amort else 0,
-                             per_call=need_call)
+                             per_call=need_call,
+                             member_strategy=member_strategy)
         cache[cfg.key()] = {**prev, **res}
         with open(cache_path, "w") as f:
             json.dump(cache, f, indent=1)
@@ -365,6 +424,10 @@ def main(argv=None):
                    help="also measure the K-forward device-amortized engine")
     p.add_argument("--no_per_call", action="store_true",
                    help="skip the per-call protocol timing")
+    p.add_argument("--member_strategy", choices=["vmap", "scan", "auto"],
+                   default="auto",
+                   help="ensemble member execution: batched (vmap) or "
+                        "sequential-in-one-program (scan; wins at batch 1)")
     p.add_argument("--table", action="store_true", help="print LaTeX table")
     args = p.parse_args(argv)
 
@@ -377,7 +440,8 @@ def main(argv=None):
     ]
     cache = run_sweep(configs, args.cache, args.trace_dir,
                       amortize_k=args.amortize_k,
-                      per_call=not args.no_per_call)
+                      per_call=not args.no_per_call,
+                      member_strategy=args.member_strategy)
     if args.table:
         from .tables import make_latex_table
 
