@@ -69,14 +69,16 @@ def config2(data_path):
                              transform_train=cfg.transform_train,
                              transform_test=cfg.transform_test)
     module = cfg.build(C)
-    hyp = {"lr": 0.03, "prior_std": 1.0, "num_samples": 3, "alpha": 0.1,
-           "burn_in_epochs": 2}
+    hyp = {"lr": 0.01, "prior_std": 1.0, "num_samples": 3, "alpha": 0.1,
+           "burn_in_epochs": 8}
     s = inference.SGHMC(hyp, model=module, train=splits["train"],
                         key=jax.random.PRNGKey(2), chains=4)
     ens = s.sample()
-    swa_hyp = {"swag_lr": 0.01, "swag_wd": 1e-4, "lr_init": 0.05,
-               "num_samples": 1, "momentum": 0.9, "burn_in_epochs": 2,
-               "num_iterates": 5}
+    # lr_init 0.05 diverges LeNet-5 on the calibrated FashionMNIST
+    # difficulty (nll -> log K); 0.02 trains cleanly
+    swa_hyp = {"swag_lr": 0.005, "swag_wd": 1e-4, "lr_init": 0.02,
+               "num_samples": 1, "momentum": 0.9, "burn_in_epochs": 8,
+               "num_iterates": 10}
     swa = inference.SWA(swa_hyp, model=module, train=splits["train"],
                         key=jax.random.PRNGKey(3))
     swa_ens = swa.sample()
@@ -101,13 +103,13 @@ def config3(data_path):
                              transform_test=cfg.transform_test)
     module = cfg.build(C)
     swag_hyp = {"swag_lr": 0.01, "swag_wd": 1e-4, "lr_init": 0.05,
-                "num_samples": 10, "momentum": 0.9, "burn_in_epochs": 3,
+                "num_samples": 10, "momentum": 0.9, "burn_in_epochs": 12,
                 "num_iterates": 20}
     swag = inference.SWAG(swag_hyp, model=module, train=splits["train"],
                           key=jax.random.PRNGKey(4), max_rank=20)
     swag_ens = swag.sample()
     de = inference.DeepEnsemble(
-        {"lr": 0.05, "epochs": 3, "momentum": 0.9, "weight_decay": 1e-4,
+        {"lr": 0.05, "epochs": 10, "momentum": 0.9, "weight_decay": 1e-4,
          "num_members": 5},
         model=module, train=splits["train"], key=jax.random.PRNGKey(5))
     de_ens = de.sample()
@@ -135,7 +137,7 @@ def config4(data_path):
                                  transform_test=cfg.transform_test)
     module = cfg.build(C)
     hyp = {"lr": 0.05, "prior_std": 1.0, "num_samples": 2, "alpha": 0.1,
-           "burn_in_epochs": 1}
+           "burn_in_epochs": 8}
     s = inference.SGHMC(hyp, model=module, train=splits["train"],
                         key=jax.random.PRNGKey(6), chains=2)
     ens = s.sample()
@@ -173,7 +175,7 @@ def config5(data_path):
          "option": "logspace"},
         {"name": "alpha", "type": "constant", "domain": 0.1},
         {"name": "num_samples", "type": "constant", "domain": 1},
-        {"name": "burn_in_epochs", "type": "constant", "domain": 1},
+        {"name": "burn_in_epochs", "type": "constant", "domain": 4},
     ]
     best_hyp, best_obj, hyps, objs = batched_bayesopt_sghmc(
         domain, module, splits["train"], task_factory,
@@ -195,7 +197,7 @@ def main():
     enable_compilation_cache()
     data_path = os.environ.get("URSA_DATA", "./data")
     results = {"device": str(jax.devices()[0]),
-               "note": "scaled-down budgets; protocol shapes per BASELINE.md"}
+               "note": "reduced budgets (protocol shapes per BASELINE.md), sized so the calibrated synthetic difficulty trains to realistic operating points"}
     for name, fn in [("config1_mlp_mnist_sgld", config1),
                      ("config2_lenet_fashion_sghmc4_swa", config2),
                      ("config3_preresnet_swag_deepensemble", config3),

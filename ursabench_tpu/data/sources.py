@@ -206,7 +206,7 @@ def read_stl10(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
 # ---------------------------------------------------------------------------
 
 
-_SYNTH_GEN_VERSION = "v3"  # bump when the generator's RNG consumption changes
+_SYNTH_GEN_VERSION = "v4"  # bump when the generator's RNG consumption changes
 
 # Difficulty of the synthetic fallback. 'separation' is the pairwise Bayes
 # z-score between class templates (pairwise optimal error = Phi(-z)):
@@ -219,23 +219,22 @@ _SYNTH_GEN_VERSION = "v3"  # bump when the generator's RNG consumption changes
 # fraction of labels uniformly (images keep their true class), adding an
 # aleatoric error floor so even a Bayes-optimal model misclassifies.
 _SYNTH_DIFFICULTY_DEFAULT = {
-    "separation": 2.5, "noise": 48.0, "label_noise": 0.02,
+    "separation": 3.0, "noise": 48.0, "label_noise": 0.02,
 }
 # Per-dataset overrides, calibrated empirically (nearest-empirical-mean
 # error, the Bayes proxy for this generative family) so trained models land
-# at ~5-20% test error: clipping at the uint8 bounds and empirical-mean
-# noise push realized error well above the ideal Phi(-z), and many-class
-# profiles need more separation (error is a union over k-1 pairwise
-# overlaps). Measured proxies: MNIST z2.5 -> 9.5%, CIFAR10 z2.7 -> ~12%,
-# CIFAR100 z5 -> 13.6%.
+# at ~5-20% test error: clipping at the uint8 bounds, the smooth-field
+# spatial correlation, and empirical-mean noise push realized error well
+# above the ideal Phi(-z), and many-class profiles need more separation
+# (error is a union over k-1 pairwise overlaps). Measured v4 proxies:
+# MNIST z3 -> 11%, CIFAR10 z3 -> 11%, CIFAR100 z5.5 -> ~20%,
+# LSUN z3.5 -> 13%. Conv-model check (PreResNet-8, 6 epochs, 8k train,
+# CIFAR10 z3): 22% plain / 35% under crop+flip augmentation.
 _SYNTH_DIFFICULTY = {
-    "CIFAR10": {"separation": 2.7},
-    "SVHN": {"separation": 2.7},
-    "STL10": {"separation": 2.7},
-    "CIFAR100": {"separation": 5.0},
-    "TIN": {"separation": 5.5},
-    "LSUN": {"separation": 3.0},
-    "CelebA": {"separation": 3.0},
+    "CIFAR100": {"separation": 5.5},
+    "TIN": {"separation": 6.0},
+    "LSUN": {"separation": 3.5},
+    "CelebA": {"separation": 3.5},
 }
 
 
@@ -335,6 +334,34 @@ def _synth_writable_output(name, train, n, seed, diff, shape):
     return x, lambda y: x  # no cache: hand out the in-memory buffer as-is
 
 
+def _bilinear_upsample(coarse: np.ndarray, size: int) -> np.ndarray:
+    """(k, g, g, ch) -> (k, size, size, ch) separable bilinear interp."""
+    g = coarse.shape[1]
+    pos = np.linspace(0.0, g - 1.0, size)
+    i0 = np.clip(pos.astype(np.int64), 0, g - 2)
+    w = (pos - i0).astype(np.float32)
+    rows = (coarse[:, i0] * (1.0 - w)[None, :, None, None]
+            + coarse[:, i0 + 1] * w[None, :, None, None])
+    out = (rows[:, :, i0] * (1.0 - w)[None, None, :, None]
+           + rows[:, :, i0 + 1] * w[None, None, :, None])
+    return out
+
+
+def _smooth_symmetric_fields(rng, k: int, size: int, ch: int) -> np.ndarray:
+    """Per-class unit-std smooth fields: coarse Gaussian grids (one cell per
+    ~4 px) bilinearly upsampled, symmetrized along width (flip-invariant),
+    then standardized per class so the caller's sep_px scaling is exact."""
+    # one cell per ~8 px: a +-4 px random crop shifts half a cell, so the
+    # class field stays ~0.75-correlated under the standard augmentation
+    g = max(4, size // 8)
+    coarse = rng.normal(0.0, 1.0, size=(k, g, g, ch)).astype(np.float32)
+    fields = _bilinear_upsample(coarse, size)
+    fields = 0.5 * (fields + fields[:, :, ::-1, :])  # width-flip symmetric
+    std = fields.reshape(k, -1).std(axis=1).reshape(k, 1, 1, 1)
+    mean = fields.reshape(k, -1).mean(axis=1).reshape(k, 1, 1, 1)
+    return (fields - mean) / np.maximum(std, 1e-6)
+
+
 def synthetic(
     name: str, train: bool, n: int | None = None, seed: int = 0,
     difficulty: dict | None = None,
@@ -363,9 +390,17 @@ def synthetic(
     # to get the pairwise z-score 'separation'
     sep_px = diff["separation"] * 2.0 * noise / np.sqrt(2.0 * dim)
     base = rng.uniform(40, 215, size=(size, size, ch)).astype(np.float32)
-    offsets = rng.normal(0.0, sep_px, size=(k, size, size, ch)).astype(
-        np.float32
-    )
+    # class offsets are SMOOTH (low-frequency bilinear fields) and
+    # left-right SYMMETRIC, normalized to unit per-pixel std so the
+    # z-score semantics above hold exactly. Rationale: iid per-pixel
+    # offsets carry zero local structure, which (a) conv+GAP models
+    # cannot represent (the signal lives in position-specific linear
+    # combinations a translation-invariant net averages away — measured:
+    # PreResNet-8 stuck at ~80% error where the Bayes proxy is 12%) and
+    # (b) random-crop/flip augmentation destroys. Smooth symmetric fields
+    # behave like real image content: locally correlated, tolerant to
+    # +-4px crops and horizontal flips.
+    offsets = _smooth_symmetric_fields(rng, k, size, ch) * sep_px
     templates = base[None] + offsets
     split_rng = np.random.Generator(
         np.random.Philox(root_seed + (1 if train else 2))
