@@ -20,14 +20,15 @@ Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/int8_microbench.py
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-K = 400
-D = 8192  # W is D x D: 67M params, 134MB bf16 / 67MB int8
+K = 300
+D = 6144  # W is D x D: 57M params, 113MB bf16 / 57MB int8
 REPS = 5
 
 
@@ -110,6 +111,10 @@ def main():
         "int8_dequant_speedup_vs_bf16": round(t_bf16 / t_deq, 2),
         "int8_mxu_speedup_vs_bf16": round(t_bf16 / t_mxu, 2),
     }
+    asset = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "assets", "int8_microbench.json"))
+    with open(asset, "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out))
     return out
 

@@ -103,9 +103,12 @@ def main():
         def body(_, carry):
             xi, acc = carry
             (loss, _), grads = grad_fn(params, bstats, xi, y)
-            # grads must feed the carry (else XLA dead-code-eliminates the
-            # whole backward pass); 1e-30 scaling is not compile-foldable
-            s = loss + jnp.float32(1e-30) * jnp.sum(jax.tree.leaves(grads)[0])
+            # EVERY grad leaf must feed the carry: keeping only one leaf
+            # lets XLA dead-code-eliminate the other leaves' weight-grad
+            # matmuls (~half the backward); 1e-30 is not compile-foldable
+            gsum = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree.leaves(grads))
+            s = loss + jnp.float32(1e-30) * gsum
             return (x + jnp.float32(1e-30) * s, acc + s)
 
         return jax.lax.fori_loop(0, K, body, (x, jnp.float32(0.0)))[1]

@@ -11,9 +11,85 @@
 //
 // Build: make -C native   (produces libursa_dataio.so)
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Background prefetch stream: a worker thread gathers + normalizes batches
+// ahead of the consumer into a ring of slots — the role torch DataLoader
+// worker processes play in the reference, as one pthread with shared memory
+// (ctypes releases the GIL around the blocking next() call, so the worker
+// overlaps Python dispatch AND device compute).
+// ---------------------------------------------------------------------------
+
+struct Slot {
+  std::vector<float> x;
+  std::vector<int32_t> y;
+  int64_t batch_index = -1;  // which batch this slot holds, -1 = empty
+};
+
+struct UrsaStream {
+  const uint8_t* images;
+  const int64_t* labels;
+  int64_t n, item_pixels, channels, batch, num_batches;
+  float scale[16], bias[16];
+  std::vector<int64_t> order;
+  std::vector<Slot> ring;
+  int64_t produced = 0, consumed = 0;
+  bool stop = false;
+  std::mutex mu;
+  std::condition_variable cv_produced, cv_space;
+  std::thread worker;
+};
+
+void fill_slot(UrsaStream* s, Slot* slot, int64_t bi) {
+  const int64_t item_bytes = s->item_pixels * s->channels;
+  const int64_t* idx = s->order.data() + bi * s->batch;
+  for (int64_t b = 0; b < s->batch; ++b) {
+    const uint8_t* src = s->images + idx[b] * item_bytes;
+    float* dst = slot->x.data() + b * item_bytes;
+    if (s->channels == 1) {
+      const float sc = s->scale[0], o = s->bias[0];
+      for (int64_t i = 0; i < item_bytes; ++i) dst[i] = src[i] * sc + o;
+    } else {
+      for (int64_t i = 0; i < item_bytes; i += s->channels) {
+        for (int64_t c = 0; c < s->channels; ++c) {
+          dst[i + c] = src[i + c] * s->scale[c] + s->bias[c];
+        }
+      }
+    }
+    slot->y[b] = static_cast<int32_t>(s->labels[idx[b]]);
+  }
+  slot->batch_index = bi;
+}
+
+void worker_loop(UrsaStream* s) {
+  const int64_t depth = static_cast<int64_t>(s->ring.size());
+  for (int64_t bi = 0; bi < s->num_batches; ++bi) {
+    {
+      std::unique_lock<std::mutex> lk(s->mu);
+      s->cv_space.wait(lk, [s, depth] {
+        return s->stop || s->produced - s->consumed < depth;
+      });
+      if (s->stop) return;
+    }
+    fill_slot(s, &s->ring[bi % depth], bi);
+    {
+      std::lock_guard<std::mutex> lk(s->mu);
+      s->produced++;
+    }
+    s->cv_produced.notify_one();
+  }
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -74,6 +150,79 @@ void ursa_gather_u8(
   }
 }
 
-int32_t ursa_dataio_version() { return 1; }
+// Create a prefetch stream over one shuffled epoch. The images/labels
+// pointers must outlive the stream (the Python side keeps references).
+// depth = ring size (2 = classic double buffering). Returns an opaque
+// handle; NULL on bad arguments.
+void* ursa_stream_create(
+    const uint8_t* images, const int64_t* labels, int64_t n,
+    int64_t item_pixels, int64_t channels, int64_t batch, const float* mean,
+    const float* stddev, uint64_t seed, int32_t shuffle, int32_t depth) {
+  if (channels > 16 || batch <= 0 || n < batch || depth < 1) return nullptr;
+  auto* s = new UrsaStream();
+  s->images = images;
+  s->labels = labels;
+  s->n = n;
+  s->item_pixels = item_pixels;
+  s->channels = channels;
+  s->batch = batch;
+  s->num_batches = n / batch;
+  for (int64_t c = 0; c < channels; ++c) {
+    s->scale[c] = 1.0f / (255.0f * stddev[c]);
+    s->bias[c] = -mean[c] / stddev[c];
+  }
+  s->order.resize(n);
+  ursa_permutation(n, seed, s->order.data());
+  if (!shuffle) {
+    for (int64_t i = 0; i < n; ++i) s->order[i] = i;
+  }
+  s->ring.resize(depth);
+  const int64_t item_bytes = item_pixels * channels;
+  for (auto& slot : s->ring) {
+    slot.x.resize(batch * item_bytes);
+    slot.y.resize(batch);
+  }
+  s->worker = std::thread(worker_loop, s);
+  return s;
+}
+
+int64_t ursa_stream_num_batches(void* handle) {
+  return static_cast<UrsaStream*>(handle)->num_batches;
+}
+
+// Block until the next batch is ready, copy it out, free the slot.
+// Returns the batch index, or -1 when the epoch is exhausted.
+int64_t ursa_stream_next(void* handle, float* out_x, int32_t* out_y) {
+  auto* s = static_cast<UrsaStream*>(handle);
+  if (s->consumed >= s->num_batches) return -1;
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->cv_produced.wait(lk, [s] { return s->produced > s->consumed; });
+  }
+  const int64_t depth = static_cast<int64_t>(s->ring.size());
+  Slot& slot = s->ring[s->consumed % depth];
+  const int64_t bi = slot.batch_index;
+  std::memcpy(out_x, slot.x.data(), slot.x.size() * sizeof(float));
+  std::memcpy(out_y, slot.y.data(), slot.y.size() * sizeof(int32_t));
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->consumed++;
+  }
+  s->cv_space.notify_one();
+  return bi;
+}
+
+void ursa_stream_destroy(void* handle) {
+  auto* s = static_cast<UrsaStream*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->stop = true;
+  }
+  s->cv_space.notify_all();
+  if (s->worker.joinable()) s->worker.join();
+  delete s;
+}
+
+int32_t ursa_dataio_version() { return 2; }
 
 }  // extern "C"

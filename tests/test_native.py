@@ -127,3 +127,75 @@ def test_streaming_from_disk_memmap(tmp_path):
     ref = (images[:16].astype(np.float32) / 255.0 - 0.5) / 0.5
     np.testing.assert_allclose(x0, ref, rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(batches[0][1]), labels[:16])
+
+
+def test_prefetch_stream_covers_epoch_and_matches_reference():
+    """The C++ background-prefetch stream (worker thread + ring buffer)
+    yields every batch of a shuffled epoch exactly once, with contents
+    equal to the reference gather+normalize of the same indices."""
+    assert native.native_available()
+    rng = np.random.default_rng(0)
+    n, h, w, c = 130, 8, 8, 3
+    images = rng.integers(0, 255, (n, h, w, c), dtype=np.uint8)
+    labels = np.arange(n, dtype=np.int64)  # labels reveal gathered indices
+    from ursabench_tpu.data.transforms import ImageSpec
+
+    spec = ImageSpec(h, c, (0.5, 0.4, 0.3), (0.2, 0.25, 0.3))
+    split = native.HostStreamingSplit(images, labels, batch_size=32,
+                                      spec=spec, seed=7)
+    seen = []
+    for x, y in split.epoch():
+        x, y = np.asarray(x), np.asarray(y)
+        assert x.shape == (32, h, w, c) and y.shape == (32,)
+        ref = (images[y].astype(np.float32) / 255.0
+               - np.asarray(spec.mean)) / np.asarray(spec.std)
+        np.testing.assert_allclose(x, ref, rtol=1e-5, atol=1e-6)
+        seen.extend(y.tolist())
+    assert len(seen) == 4 * 32  # 130 // 32 batches
+    assert len(set(seen)) == len(seen)  # no index twice (one epoch)
+
+    # second epoch reshuffles
+    seen2 = [int(v) for _, y in split.epoch() for v in np.asarray(y)]
+    assert seen2 != seen
+    assert len(set(seen2)) == len(seen2)
+
+
+def test_sampler_trains_from_streaming_split():
+    """Any epoch-driven sampler accepts a HostStreamingSplit as its train
+    split: make_epoch_fn routes epochs through the C++ prefetch stream +
+    single-batch jitted step with the same traced-hyp contract."""
+    import jax
+
+    from ursabench_tpu import inference, models
+    from ursabench_tpu.data.sources import synthetic
+    from ursabench_tpu.data.transforms import ImageSpec
+
+    images, labels = synthetic(
+        "MNIST", train=True, n=256,
+        difficulty={"separation": 25.0, "label_noise": 0.0},
+    )
+    spec = ImageSpec(28, 1, (0.1307,), (0.3081,))
+    stream = native.HostStreamingSplit(np.asarray(images), labels,
+                                       batch_size=64, spec=spec)
+    module = models.get_model("MLP200MNIST").build(10)
+    s = inference.SGLD(
+        {"lr": 0.05, "prior_std": 1.0, "num_samples": 2, "burn_in_epochs": 3},
+        model=module, train=stream, key=jax.random.PRNGKey(0),
+    )
+    ens = s.sample()
+    assert ens.num_members == 2
+    # traced-hyp contract: update_hyp reuses the compiled streaming step
+    n_compiles = s._epoch_fn._cache_size()
+    s.update_hyp({"lr": 0.01, "prior_std": 0.5, "num_samples": 1,
+                  "burn_in_epochs": 0})
+    s.sample()
+    assert s._epoch_fn._cache_size() == n_compiles
+    # multi-chain / mesh are rejected for streaming splits
+    try:
+        inference.SGLD({"lr": 0.05, "prior_std": 1.0, "num_samples": 1,
+                        "burn_in_epochs": 0},
+                       model=module, train=stream,
+                       key=jax.random.PRNGKey(0), chains=2)
+        assert False, "expected assertion for chains>1 streaming"
+    except AssertionError as e:
+        assert "single-chain" in str(e)

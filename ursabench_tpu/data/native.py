@@ -49,8 +49,23 @@ def _load_lib():
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.ursa_stream_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.ursa_stream_create.restype = ctypes.c_void_p
+        lib.ursa_stream_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ursa_stream_next.restype = ctypes.c_int64
+        lib.ursa_stream_num_batches.argtypes = [ctypes.c_void_p]
+        lib.ursa_stream_num_batches.restype = ctypes.c_int64
+        lib.ursa_stream_destroy.argtypes = [ctypes.c_void_p]
         lib.ursa_dataio_version.restype = ctypes.c_int32
-        assert lib.ursa_dataio_version() == 1
+        assert lib.ursa_dataio_version() == 2
         _lib = lib
     except Exception:
         _lib = None
@@ -157,25 +172,67 @@ class HostStreamingSplit:
 
         mean = np.asarray(self.spec.mean, np.float32)
         std = np.asarray(self.spec.std, np.float32)
-        if self.shuffle:
-            order = permutation(self.n, self.seed + self._epoch)
-        else:
-            order = np.arange(self.n, dtype=np.int64)
+        epoch_seed = self.seed + self._epoch
         self._epoch += 1
         bsz = self.batch_size
+        nb = self.num_batches
+        if nb == 0:
+            return
+        lib = _load_lib()
+        if lib is not None:
+            yield from self._native_epoch(jax, lib, mean, std, epoch_seed)
+            return
+        # numpy fallback: gather on the consumer thread, rely on async
+        # device dispatch for (partial) overlap
+        if self.shuffle:
+            order = permutation(self.n, epoch_seed)
+        else:
+            order = np.arange(self.n, dtype=np.int64)
 
         def host_batch(i):
             idx = order[i * bsz: (i + 1) * bsz]
             x, y = gather_normalize(self.images, self.labels, idx, mean, std)
             return jax.device_put(x), jax.device_put(y)
 
-        # double buffer: overlap host gather of batch i+1 with device compute
-        nb = self.num_batches
-        if nb == 0:
-            return
         nxt = host_batch(0)
         for i in range(nb):
             cur = nxt
             if i + 1 < nb:
                 nxt = host_batch(i + 1)
             yield cur
+
+    def _native_epoch(self, jax, lib, mean, std, epoch_seed):
+        """True background prefetch: the C++ worker thread gathers batch
+        i+1..i+depth while Python dispatches batch i to the device (the
+        blocking ursa_stream_next call releases the GIL)."""
+        images = self.images
+        if not (isinstance(images, np.ndarray) and images.flags["C_CONTIGUOUS"]
+                and images.dtype == np.uint8):
+            images = np.ascontiguousarray(images, np.uint8)
+        labels = np.ascontiguousarray(self.labels, np.int64)
+        mean = np.ascontiguousarray(mean, np.float32)
+        std = np.ascontiguousarray(std, np.float32)
+        n, h, w, c = images.shape
+        handle = lib.ursa_stream_create(
+            _ptr(images, ctypes.c_uint8), _ptr(labels, ctypes.c_int64),
+            n, h * w, c, self.batch_size,
+            _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
+            epoch_seed & (2 ** 64 - 1), 1 if self.shuffle else 0, 2,
+        )
+        if not handle:  # shape outside the native contract: fall back
+            raise RuntimeError("ursa_stream_create failed")
+        try:
+            out_x = np.empty((self.batch_size, h, w, c), np.float32)
+            out_y = np.empty(self.batch_size, np.int32)
+            while True:
+                bi = lib.ursa_stream_next(
+                    handle, _ptr(out_x, ctypes.c_float),
+                    _ptr(out_y, ctypes.c_int32),
+                )
+                if bi < 0:
+                    return
+                # copy before device_put: the stream reuses these buffers
+                # for the next batch and device_put may defer its read
+                yield jax.device_put(out_x.copy()), jax.device_put(out_y.copy())
+        finally:
+            lib.ursa_stream_destroy(handle)

@@ -84,6 +84,26 @@ def make_epoch_fn(
             use_augment=use_augment, chains=chains, mesh=mesh,
         )
     assert not (vmap_hyp and chains == 1), "vmap_hyp requires chains/K > 1"
+    if hasattr(split, "epoch"):  # HostStreamingSplit: beyond-HBM datasets
+        # same epoch_fn contract, but batches stream from the C++ host
+        # pipeline (data/native.py) through the single-batch jitted step —
+        # any epoch-driven sampler takes a streaming split transparently
+        assert chains == 1 and mesh is None and not vmap_hyp, (
+            "host-streaming epochs are single-chain, single-device"
+        )
+        step = make_streaming_step_fn(
+            module, lr_fn=lr_fn, update_fn=update_fn,
+            spec=split.spec if use_augment else None,
+        )
+
+        def streaming_epoch_fn(state, epoch, noise_on, hyp):
+            state, losses = run_streaming_epoch(
+                step, state, split, epoch, noise_on, hyp
+            )
+            return state, jnp.stack(losses).mean()
+
+        streaming_epoch_fn._cache_size = step._cache_size
+        return streaming_epoch_fn
     images, labels = split.device_arrays()
     spec = split.spec
     n = split.n

@@ -16,6 +16,9 @@ _CAPTION = (
     "%   chip execution time. %%peak = achieved FLOP/s over the device's\n"
     "%   bf16 peak for every precision (fp32/int8 rows are percent of the\n"
     "%   bf16 number, not of a per-precision peak).\n"
+    "% hbm_* fields derive from XLA's cost-model 'bytes accessed' — an\n"
+    "%   upper-bound estimate that can overcount fused reads severalfold\n"
+    "%   (and thus read >100%% of peak); treat as relative, not measured.\n"
 )
 
 
