@@ -299,7 +299,7 @@ def profile_config(cfg: ProfileConfig, trace_dir: str | None = None,
         member_strategy = ("scan" if cfg.ensemble_size > 1
                            and cfg.batch_size <= 8 else "vmap")
     out = {**asdict(cfg), "device": str(jax.devices()[0]),
-           "member_strategy": member_strategy}
+           "amortized_member_strategy": member_strategy}
     flops = bytes_ = None
     if per_call:
         engine, x = build_engine(
