@@ -1,0 +1,85 @@
+"""Sanity guards on committed benchmark artifacts.
+
+Round-2 review found two classes of dead evidence that are cheap to guard
+against: latency-table rows whose chip-side fields were never populated
+(every mfu field None, all bs1 rows pinned to the ~28 ms RPC floor), and
+baseline-suite metrics at degenerate operating points (error ~0, null
+misclass AUROCs). These tests read the committed assets so a regeneration
+that regresses either property fails CI.
+"""
+
+import json
+import math
+import os
+
+import pytest
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
+
+
+def _load(name):
+    path = os.path.join(ASSETS, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not committed")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_latency_table_is_chip_true():
+    table = _load("latency_table.json")
+    assert table, "empty latency table"
+    for key, row in table.items():
+        assert row.get("amortized_latency_s"), f"{key}: no amortized timing"
+        assert row.get("mfu_pct_of_bf16_peak") is not None, f"{key}: MFU dead"
+        assert row.get("hbm_bytes_accessed"), f"{key}: HBM column dead"
+    # the chip separates models at batch 1 (the RPC floor does not):
+    wrn = table["WideResNet28x10.CIFAR10.bf16.ensemble6.bs1"]
+    pre = table["PreResNet20.CIFAR10.bf16.ensemble6.bs1"]
+    assert wrn["amortized_latency_s"] > 2 * pre["amortized_latency_s"]
+    # the int8 engine premise holds in the batch-1 weight-streaming regime:
+    i8 = table["WideResNet28x10.CIFAR10.int8.ensemble6.bs1"]
+    assert i8["amortized_latency_s"] < 1.05 * wrn["amortized_latency_s"]
+    # and int8 actually cuts HBM traffic vs fp32 weights:
+    f32 = table["WideResNet28x10.CIFAR10.fp32.ensemble6.bs1"]
+    assert i8["hbm_bytes_accessed"] < 0.5 * f32["hbm_bytes_accessed"]
+    # the ImageNet-shape ResNet-50 engines (trtprof rn50_ensemble_2
+    # analogue) are compute-bound even at batch 1 — MFU, not RPC floor:
+    rn50 = table["INResNet50.ImageNet.bf16.ensemble2.bs1"]
+    assert rn50["amortized_latency_s"] < 0.005
+    assert rn50["mfu_pct_of_bf16_peak"] > 40
+
+
+def test_baseline_suite_operating_points_are_realistic():
+    suite = _load("baseline_suite.json")
+
+    def finite(x):
+        return x is not None and math.isfinite(x)
+
+    checked = 0
+    for name, cfg in suite.items():
+        if not isinstance(cfg, dict):
+            continue
+        for mkey in ("metrics", "swa_metrics", "swag_metrics",
+                     "deep_ensemble_metrics"):
+            m = cfg.get(mkey)
+            if not m:
+                continue
+            checked += 1
+            err = m.get("error_rate")
+            assert finite(err) and 0.005 < err < 0.6, (name, mkey, err)
+            if "ece" in m:
+                assert finite(m["ece"]) and m["ece"] > 1e-3, (name, mkey)
+            for k, v in m.items():
+                if "auroc" in k or "aucpr" in k:
+                    assert finite(v) and 0.0 < v < 1.0, (name, mkey, k, v)
+        if "ood_metrics" in cfg:
+            for k, v in cfg["ood_metrics"].items():
+                if "auroc" in k:
+                    assert finite(v) and 0.0 < v < 1.0, (name, k, v)
+    assert checked >= 4, "baseline suite lost its metric blocks"
+
+
+def test_stretch_bench_mfu_reported():
+    stretch = _load("stretch_bench.json")
+    assert stretch["tpu_sghmc_mfu_pct_bf16"] > 40
+    assert stretch["speedup_steps"] > 50 and stretch["speedup_bma"] > 50

@@ -420,3 +420,22 @@ def test_pca_ess_mid_chain_checkpoint_resume(tmp_path):
                     jax.tree.leaves(ens_full.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+def test_resolve_spec_dataset_shapes():
+    """ImageNet profiling rows use the trtprof rn50 engine setting (224x224,
+    1000-way); CIFAR rows keep the model config's 32x32 eval transform."""
+    from ursabench_tpu import models
+    from ursabench_tpu.profiling import ProfileConfig
+    from ursabench_tpu.profiling.latency import _resolve_spec
+
+    mcfg = models.get_model("INResNet50")
+    shape, classes = _resolve_spec(
+        ProfileConfig("INResNet50", "ImageNet", "bf16", 2, 1), mcfg)
+    assert shape == (224, 224, 3) and classes == 1000
+    shape, classes = _resolve_spec(
+        ProfileConfig("INResNet50", "CIFAR100", "bf16", 2, 1), mcfg)
+    assert shape == (32, 32, 3) and classes == 100
+    shape, classes = _resolve_spec(
+        ProfileConfig("MLP200MNIST", "MNIST", "fp32", 1, 1),
+        models.get_model("MLP200MNIST"))
+    assert shape == (28, 28, 1) and classes == 10

@@ -55,13 +55,15 @@ def _prep_forward(module, params, batch_stats, precision,
     ``member_strategy`` picks how the S ensemble members execute:
     'vmap' batches them into one program (weights become a batched conv
     operand); 'scan' runs them sequentially inside one lax.scan, reusing
-    the single-member kernels — at small batch, XLA's batched-conv path
-    for vmapped WEIGHTS is far slower than S sequential forwards
-    (measured on v5e, WRN-28x10 bs1 S=6: 4.24 ms vmap vs 1.63 ms scan
-    bf16, 1.22 ms scan int8), so 'scan' is the batch-1 serving engine;
-    at large batch the batched path wins slightly (61.8 vs ~64 ms at
-    bs128 S=6). 'auto' (profile_config) picks scan iff S > 1 and
-    batch_size <= 8."""
+    the single-member kernels — XLA lowers weight-vmapped convs to
+    grouped convolutions, which is far slower at small batch (measured
+    on v5e, WRN-28x10 bs1 S=6: 4.24 ms vmap vs 1.63 ms scan bf16,
+    1.22 ms scan int8) and still loses on big-spatial models at real
+    batch sizes (INResNet50 224x224 bs32 S=2 bf16: 91.5 ms vmap vs
+    81.3 ms scan). The batched path only wins, narrowly, on small-spatial
+    models at large batch (WRN 32x32 bs128 S=6: 61.8 ms vmap vs ~64 ms
+    scan). 'auto' (profile_config) picks scan iff S > 1 and
+    (batch_size <= 8 or input spatial >= 64)."""
     dtype = jnp.bfloat16 if precision in ("bf16", "int8") else jnp.float32
     cast = lambda t: jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
@@ -271,6 +273,20 @@ def _cost_fields(flops, bytes_, latency_s):
     return out
 
 
+def _resolve_spec(cfg: ProfileConfig, mcfg):
+    """(input_shape, num_classes) for the engine build. The input shape
+    follows the model config's eval transform (the reference instantiates
+    its IN-ResNets at 32x32 for CIFAR, imagenet_resnet.py:156-159);
+    'ImageNet' overrides to the trtprof rn50 engine setting — 224x224
+    inputs, 1000-way head (to_onnx.py:96-99, dataset.py:37)."""
+    if cfg.dataset == "ImageNet":
+        return (224, 224, 3), 1000
+    from ..data.sources import DATASET_PROFILES
+
+    classes = DATASET_PROFILES.get(cfg.dataset, (None, None, 10))[2]
+    return tuple(mcfg.transform_test.shape), classes
+
+
 def profile_config(cfg: ProfileConfig, trace_dir: str | None = None,
                    amortize_k: int = 0, per_call: bool = True,
                    member_strategy: str = "vmap") -> dict:
@@ -286,10 +302,10 @@ def profile_config(cfg: ProfileConfig, trace_dir: str | None = None,
     from ..util import tree_stack
 
     mcfg = models.get_model(cfg.model)
-    module = mcfg.build(100 if cfg.dataset == "CIFAR100" else 10)
-    spec = mcfg.transform_test
+    input_shape, num_classes = _resolve_spec(cfg, mcfg)
+    module = mcfg.build(num_classes)
     keys = jax.random.split(jax.random.PRNGKey(0), cfg.ensemble_size)
-    variables = [init_variables(module, k, spec.shape) for k in keys]
+    variables = [init_variables(module, k, input_shape) for k in keys]
     params = tree_stack([v["params"] for v in variables])
     bstats = None
     if variables[0].get("batch_stats"):
@@ -297,13 +313,14 @@ def profile_config(cfg: ProfileConfig, trace_dir: str | None = None,
 
     if member_strategy == "auto":
         member_strategy = ("scan" if cfg.ensemble_size > 1
-                           and cfg.batch_size <= 8 else "vmap")
+                           and (cfg.batch_size <= 8 or input_shape[0] >= 64)
+                           else "vmap")
     out = {**asdict(cfg), "device": str(jax.devices()[0]),
            "amortized_member_strategy": member_strategy}
     flops = bytes_ = None
     if per_call:
         engine, x = build_engine(
-            module, params, bstats, cfg.batch_size, spec.shape,
+            module, params, bstats, cfg.batch_size, input_shape,
             cfg.precision, member_strategy,
         )
         if trace_dir:
@@ -319,7 +336,7 @@ def profile_config(cfg: ProfileConfig, trace_dir: str | None = None,
 
     if amortize_k:
         engine_k, x = build_amortized_engine(
-            module, params, bstats, cfg.batch_size, spec.shape,
+            module, params, bstats, cfg.batch_size, input_shape,
             cfg.precision, loop_k=amortize_k,
             member_strategy=member_strategy,
         )
