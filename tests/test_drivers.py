@@ -439,3 +439,30 @@ def test_resolve_spec_dataset_shapes():
         ProfileConfig("MLP200MNIST", "MNIST", "fp32", 1, 1),
         models.get_model("MLP200MNIST"))
     assert shape == (28, 28, 1) and classes == 10
+
+def test_cli_dispatch(tmp_path, monkeypatch, capsys):
+    """The unified CLI (cli.py) dispatches to the driver mains and returns
+    shell-style exit codes for help/unknown commands."""
+    import json as _json
+
+    from ursabench_tpu.cli import main as cli_main
+
+    monkeypatch.chdir(tmp_path)
+    assert cli_main([]) == 0
+    assert "Commands mirror" in capsys.readouterr().out
+    assert cli_main(["frobnicate"]) == 2
+
+    assert cli_main(["models"]) == 0
+    listed = capsys.readouterr().out.split()
+    assert "MLP200MNIST" in listed and "WideResNet28x10" in listed
+
+    assert cli_main([
+        "run", "--dataset", "MNIST", "--model", "MLP200MNIST",
+        "--inference_method", "SGLD", "--task", "Prediction", "--use_val",
+        "--batch_size", "32", "--seed", "0",
+        "--hyperparams",
+        _json.dumps({"lr": 0.03, "prior_std": 1.0, "num_samples": 1,
+                     "burn_in_epochs": 0}),
+        "--synthetic_n_train", "96", "--synthetic_n_test", "64",
+    ]) == 0
+    assert (tmp_path / "results.csv").exists()
