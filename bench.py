@@ -139,9 +139,13 @@ def main():
         return softmax_probs(jax.vmap(one)(params, bstats)).mean(0)
 
     best_imgs = None
+    bma_flops_batch = None
     try:
+        from ursabench_tpu.profiling.hw import xla_cost
+
         batches = [b for b in test.batches() if b[0].shape[0] == batch]
         np.asarray(bma_probs(params, bstats, batches[0][0]))  # compile
+        bma_flops_batch = xla_cost(bma_probs, params, bstats, batches[0][0])["flops"]
         best_imgs = 0.0
         for _ in range(REPS):
             t0 = time.perf_counter()
@@ -156,6 +160,10 @@ def main():
             )
     except Exception:
         pass
+
+    bma_tflops = bma_mfu = None
+    if best_imgs and bma_flops_batch:
+        bma_tflops, bma_mfu = tflops_and_mfu(best_imgs / batch, bma_flops_batch)
 
     base_path = os.path.join(os.path.dirname(__file__), "assets", "baseline_cpu.json")
     vs = None
@@ -176,6 +184,8 @@ def main():
         "bf16_mfu_pct_of_bf16_peak": mfu_bf16,
         "multichain_bf16": multichain or None,
         "bma_images_per_sec": round(best_imgs, 1) if best_imgs else None,
+        "bma_tflops": bma_tflops,
+        "bma_mfu_pct_of_bf16_peak": bma_mfu,
         "timed_window": f"best of {REPS}x{EPOCHS_PER_REP} epochs",
         "device": str(jax.devices()[0]),
     }))

@@ -10,11 +10,20 @@ dense layer, away from conv/layout effects:
   int8-mxu   : x quantized dynamically to int8, W_q8 stays int8,
                dot_general(int8, int8) -> int32, rescale (native int8 MXU
                throughput, 2x bf16 peak on v5e-class chips)
+  int8-pallas: the same int8-mxu computation as a hand-written Pallas
+               weight-streaming kernel (ops/pallas_int8.py): W tiles
+               pipelined HBM->VMEM, int8 MXU dot per tile
 
 Each regime runs K iterations inside one jitted lax.fori_loop with the
 bit-exact output->input chaining trick (see profiling/latency.py), so the
 quotient is chip execution time. Also reports the speed-of-light time from
 pure weight traffic at the device's published HBM bandwidth.
+
+K must swamp the tunnel's ~28 ms device->host RPC round-trip: probe v2
+(assets/pallas_matvec_probe2.json) showed a ~110 us/iteration floor at
+K=300 across ALL variants — that is 33 ms/K of RPC, not chip time (a size
+sweep fits t = RPC/K + bytes/714GB/s, i.e. the stream itself runs at ~87%
+of the v5e's published HBM bandwidth). At K=3000 the RPC term is ~9 us.
 
 Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/int8_microbench.py
 """
@@ -27,9 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-K = 300
+K = 3000
 D = 6144  # W is D x D: 57M params, 113MB bf16 / 57MB int8
-REPS = 5
+REPS = 3
 
 
 def timed(fn, *args):
@@ -93,9 +102,20 @@ def main():
         # scale: per-output-channel weight scale x activation scale
         return acc.astype(jnp.float32) * (s.T.astype(jnp.float32) * xs)
 
+    from ursabench_tpu.ops.pallas_int8 import int8_matvec
+
+    # the mxu/deq variants serve W' = (q * scale).T (per-column scales of q
+    # are per-row scales of q.T); hand the kernel the same contiguous view
+    qT = jnp.asarray(np.asarray(w_q8).T)
+    s_row = jnp.asarray(scale.reshape(-1), jnp.float32)
+
+    def body_pallas(x, qT, s_row):
+        return int8_matvec(qT, s_row, x[:, 0]).reshape(D, 1)
+
     t_bf16 = timed(chain_loop(body_bf16, x0), w_bf16)
     t_deq = timed(chain_loop(body_deq, x0), w_q8, scale_bf16)
     t_mxu = timed(chain_loop(body_mxu, x0), w_q8, scale)
+    t_pallas = timed(chain_loop(body_pallas, x0), qT, s_row)
 
     _, hbm = device_peaks()
     sol_bf16 = (D * D * 2) / hbm if hbm else None
@@ -106,10 +126,14 @@ def main():
         "bf16_ms": round(t_bf16 * 1e3, 4),
         "int8_dequant_ms": round(t_deq * 1e3, 4),
         "int8_mxu_ms": round(t_mxu * 1e3, 4),
+        "int8_pallas_ms": round(t_pallas * 1e3, 4),
         "speed_of_light_bf16_ms": round(sol_bf16 * 1e3, 4) if hbm else None,
         "speed_of_light_int8_ms": round(sol_int8 * 1e3, 4) if hbm else None,
         "int8_dequant_speedup_vs_bf16": round(t_bf16 / t_deq, 2),
         "int8_mxu_speedup_vs_bf16": round(t_bf16 / t_mxu, 2),
+        "int8_pallas_speedup_vs_bf16": round(t_bf16 / t_pallas, 2),
+        "int8_pallas_pct_of_stream_sol": (
+            round(sol_int8 / t_pallas * 100, 1) if hbm else None),
     }
     asset = os.path.abspath(os.path.join(
         os.path.dirname(__file__), "..", "assets", "int8_microbench.json"))

@@ -6,8 +6,14 @@ the device-amortized K-forward engine measurement (chip-true latency, filled
 achieved_tflops / mfu_pct_of_bf16_peak / HBM-traffic columns) for every
 configuration, then rewrites assets/latency_table.{json,tex}.
 
-K is sized per batch: small batches need a long loop for the loop body to
-dwarf the single fetch; big batches amortize in fewer iterations.
+K is sized per (model, batch) so that RPC/K << per-forward device time:
+probe v2 (assets/pallas_matvec_probe2.json) measured the tunnel's
+device->host fetch at ~28-33 ms PER CALL, so a K-forward loop reads
+RPC/K high. The round-2 table used K=1000/100, which inflated the
+PreResNet-20 rows by 30-60% (28 us on a ~46 us bs1 forward; 280 us on a
+~0.2-0.8 ms bs128 forward). PreResNet rows now use K=20000/2000
+(RPC term < 3%); WideResNet/ImageNet rows were already <3% and keep
+their cached K (run_sweep re-measures when the requested K grows).
 
 Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/latency_suite.py
 """
@@ -30,17 +36,22 @@ def main():
 
     enable_compilation_cache()
     t00 = time.perf_counter()
-    for batch_size, loop_k in ((1, 1000), (128, 100)):
+    K_BY_MODEL_BATCH = {
+        ("PreResNet20", 1): 20000,
+        ("PreResNet20", 128): 2000,
+        ("WideResNet28x10", 1): 1000,   # ~1.6 ms/fwd: RPC term 1.7%
+        ("WideResNet28x10", 128): 100,  # >=10 ms/fwd: RPC term <0.3%
+    }
+    for (model, batch_size), loop_k in K_BY_MODEL_BATCH.items():
         configs = [
-            ProfileConfig(m, "CIFAR10", prec, s, batch_size)
-            for m in ("PreResNet20", "WideResNet28x10")
+            ProfileConfig(model, "CIFAR10", prec, s, batch_size)
             for prec in ("fp32", "bf16", "int8")
             for s in (1, 6)
         ]
         run_sweep(configs, ASSET, amortize_k=loop_k, per_call=True,
                   member_strategy="auto")
-        print(f"bs{batch_size} done at {time.perf_counter() - t00:.0f}s",
-              flush=True)
+        print(f"{model} bs{batch_size} done at "
+              f"{time.perf_counter() - t00:.0f}s", flush=True)
     with open(ASSET) as f:
         cache = json.load(f)
     with open(TEX, "w") as f:

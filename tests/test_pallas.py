@@ -60,3 +60,32 @@ def test_pallas_sghmc_noise_statistics():
     assert abs(a.mean()) < expected_std * 0.05
     tiles = a.reshape(8, -1)
     assert not np.allclose(tiles[0], tiles[1])
+
+
+def test_pallas_int8_matvec_matches_reference():
+    """The weight-streaming int8 matvec == the XLA int8-mxu computation
+    (same per-tensor activation quant, per-row weight scales) exactly, and
+    tracks the unquantized f32 matvec within quantization error."""
+    from ursabench_tpu.ops.pallas_int8 import int8_matvec
+
+    rng = np.random.default_rng(1)
+    n, k = 512, 256
+    w = jnp.asarray(rng.normal(size=(n, k)) / np.sqrt(k), jnp.float32)
+    x = jnp.asarray(rng.normal(size=k), jnp.float32)
+
+    amax = jnp.max(jnp.abs(w), axis=1)
+    scales = jnp.maximum(amax, 1e-12) / 127.0
+    w_q8 = jnp.clip(jnp.round(w / scales[:, None]), -127, 127).astype(jnp.int8)
+
+    y = np.asarray(int8_matvec(w_q8, scales, x, tile_n=128, interpret=True))
+
+    ax = jnp.max(jnp.abs(x))
+    x_scale = jnp.maximum(ax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int32)
+    ref = (np.asarray(w_q8, np.int64) @ np.asarray(xq, np.int64)).astype(
+        np.float64) * np.asarray(scales, np.float64) * float(x_scale)
+    np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
+
+    full = np.asarray(w, np.float64) @ np.asarray(x, np.float64)
+    err = np.abs(y - full) / (np.abs(full).mean() + 1e-12)
+    assert err.max() < 0.05  # int8 quantization error envelope

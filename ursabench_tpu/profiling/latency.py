@@ -404,7 +404,11 @@ def run_sweep(configs, cache_path: str, trace_dir: str | None = None,
               member_strategy: str = "vmap") -> dict:
     """JSON-cached sweep with resume (run_prediction.py:127-141 pattern).
     A cached entry is re-measured only for the missing mode (e.g. a
-    round-2 per-call-only cache gains amortized fields in place)."""
+    round-2 per-call-only cache gains amortized fields in place), or when
+    the requested ``amortize_k`` exceeds the cached one — a bigger K means
+    the caller decided the cached loop under-amortized the ~28 ms tunnel
+    RPC (RPC/K must stay << the per-forward time; see
+    benchmarks/pallas_matvec_probe2.py for the measurement)."""
     cache = {}
     if os.path.exists(cache_path):
         with open(cache_path) as f:
@@ -412,7 +416,10 @@ def run_sweep(configs, cache_path: str, trace_dir: str | None = None,
     for cfg in configs:
         prev = cache.get(cfg.key(), {})
         need_call = per_call and "latency_mean_s" not in prev
-        need_amort = amortize_k and "amortized_latency_s" not in prev
+        need_amort = amortize_k and (
+            "amortized_latency_s" not in prev
+            or prev.get("amortized_loop_k", 0) < amortize_k
+        )
         if not (need_call or need_amort):
             print("cached:", cfg.key())
             continue
