@@ -183,6 +183,15 @@ def test_profiling_sweep(tmp_path):
             assert r["amortized_loop_k"] == 4
         tab = make_latex_table(cache3)
         assert "device (ms)" in tab and "call (ms)" in tab
+
+        # a larger requested K re-measures (cached K under-amortized the
+        # tunnel RPC); same-or-smaller K keeps the cached row
+        cache4 = run_sweep(cfgs, cache_path, amortize_k=8)
+        for r in cache4.values():
+            assert r["amortized_loop_k"] == 8
+        cache5 = run_sweep(cfgs, cache_path, amortize_k=4)
+        for r in cache5.values():
+            assert r["amortized_loop_k"] == 8  # not downgraded
     finally:
         lat.WARM_UP_ITERS, lat.REPS_PER_BATCH, lat.BURN_IN_BATCHES = orig
 
