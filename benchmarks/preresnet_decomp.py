@@ -4,7 +4,12 @@ The flagship bench config runs at ~21% MFU single-chain (BENCH_r02) — this
 driver measures WHERE the time goes, so the "overhead-bound small convs"
 claim is a number, not an assertion. Each component runs K iterations
 inside one jitted lax.fori_loop (serial-chained; see profiling/latency.py)
-so the quotient is chip execution time with zero dispatch overhead:
+so the quotient is chip execution time with zero dispatch overhead. K must
+swamp the ~28 ms tunnel RPC paid by the single fetch: at the original
+K=200 every component read 0.14 ms high, which made fwd+bwd (0.753 ms)
+appear SLOWER than the full production epoch step (0.724 ms, whose fetch
+amortizes over 780 scanned steps) — see benchmarks/pallas_matvec_probe2.py
+for the RPC measurement. K=2000 puts the RPC term at ~14 us (<3%):
 
   fwd         : inference forward only (train=False)
   fwd_bwd     : value_and_grad of the training loss (train mode, BN mutation)
@@ -32,8 +37,9 @@ ASSET = os.path.abspath(
                  "preresnet_decomp.json")
 )
 
-K = 200
+K = 2000
 REPS = 3
+EPOCHS_PER_WINDOW = 4  # 4 x 390 scanned steps per fetch: RPC/step ~2.5%
 
 
 def main():
@@ -148,10 +154,10 @@ def main():
     best_ep = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        for _ in range(2):
+        for _ in range(EPOCHS_PER_WINDOW):
             sampler._run_epoch(True)
         sync()
-        best_ep = min(best_ep, (time.perf_counter() - t0) / 2
+        best_ep = min(best_ep, (time.perf_counter() - t0) / EPOCHS_PER_WINDOW
                       / train.num_batches)
     if args.trace_dir:
         with jax.profiler.trace(args.trace_dir):
