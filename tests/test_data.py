@@ -247,6 +247,38 @@ def test_augment_normalized_padding_semantics():
     assert matched.mean() > 0.999
 
 
+def test_augment_flip_fused_into_crop_is_bit_exact():
+    """The column one-hot with per-image reversed targets must equal the
+    naive crop-then-reverse composition exactly (selection einsums multiply
+    by 1.0, so no tolerance is needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ursabench_tpu.data.transforms import CIFAR_TRAIN, augment
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(16, 32, 32, 3)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    out = np.asarray(augment(key, x, CIFAR_TRAIN, pad_value=0.0))
+
+    # naive reference: same keys, crop via one-hots without fusion, then
+    # reverse the flipped images afterwards
+    p = CIFAR_TRAIN.random_crop_pad
+    n, h, w, c = x.shape
+    kx, ky = jax.random.split(key)
+    kf = jax.random.fold_in(key, 1)
+    flip = np.asarray(jax.random.bernoulli(kf, 0.5, (n,)))
+    ox = np.asarray(jax.random.randint(kx, (n,), 0, 2 * p + 1))
+    oy = np.asarray(jax.random.randint(ky, (n,), 0, 2 * p + 1))
+    padded = np.zeros((n, h + 2 * p, w + 2 * p, c), np.float32)
+    padded[:, p:-p, p:-p, :] = np.asarray(x)
+    ref = np.stack([padded[i, ox[i]:ox[i] + h, oy[i]:oy[i] + w, :]
+                    for i in range(n)])
+    ref[flip] = ref[flip, :, ::-1, :]
+    assert flip.any() and (~flip).any()  # both branches exercised
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_read_cifar_honors_requested_variant(tmp_path):
     """A shared data dir with BOTH CIFAR layouts must yield the requested one."""
     import pickle

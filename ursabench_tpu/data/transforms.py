@@ -59,6 +59,10 @@ def augment(key: jax.Array, images: jnp.ndarray, spec: ImageSpec,
     """
     n = images.shape[0]
     out = images
+    flip = None
+    if spec.random_flip:
+        kf = jax.random.fold_in(key, 1)
+        flip = jax.random.bernoulli(kf, 0.5, (n,))
     if spec.random_crop_pad > 0:
         p = spec.random_crop_pad
         kx, ky = jax.random.split(key)
@@ -79,15 +83,20 @@ def augment(key: jax.Array, images: jnp.ndarray, spec: ImageSpec,
             span[None, None, :]
             == (ox[:, None, None] + jnp.arange(h)[None, :, None])
         ).astype(fdt)
+        jsel = jnp.arange(w)[None, :]
+        if flip is not None:
+            # fuse the horizontal flip into the column one-hot:
+            # flip(crop(img))[i, j] == padded[ox+i, oy + (w-1-j)], so a
+            # per-image reversed column target is bit-exact flip-after-crop
+            # and saves a full-batch reverse+select pass per step
+            jsel = jnp.where(flip[:, None], w - 1 - jsel, jsel)
         cols = (
             span[None, None, :]
-            == (oy[:, None, None] + jnp.arange(w)[None, :, None])
+            == (oy[:, None, None] + jsel[:, :, None])
         ).astype(fdt)
         t = jnp.einsum("nia,nabc->nibc", rows, padded.astype(fdt))
         out = jnp.einsum("njb,nibc->nijc", cols, t).astype(out.dtype)
-    if spec.random_flip:
-        kf = jax.random.fold_in(key, 1)
-        flip = jax.random.bernoulli(kf, 0.5, (n,))
+    elif flip is not None:
         out = jnp.where(flip[:, None, None, None], out[:, :, ::-1, :], out)
     return out
 
