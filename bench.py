@@ -34,11 +34,12 @@ def device_sync(tree):
 
 
 def _sghmc_throughput(module, train, reps=REPS, epochs=EPOCHS_PER_REP,
-                      chains=1):
+                      chains=1, return_strategy=False):
     """Best-of-reps PER-CHAIN steps/sec for the compiled SGHMC epoch
-    program (``chains > 1`` advances all chains under one vmap — the
-    chip-saturating mode; aggregate throughput is the return value times
-    chains), plus XLA-reported flops per training step per chain."""
+    program (``chains > 1`` advances all chains in one program — scan or
+    vmap per engine.make_epoch_fn's auto rule; aggregate throughput is the
+    return value times chains), plus XLA-reported flops per training step
+    per chain."""
     from ursabench_tpu import inference
     from ursabench_tpu.profiling.hw import train_step_cost
 
@@ -60,6 +61,8 @@ def _sghmc_throughput(module, train, reps=REPS, epochs=EPOCHS_PER_REP,
             sampler._run_epoch(noise_on=True)
         device_sync(sampler._state.params)
         best = max(best, epochs * train.num_batches / (time.perf_counter() - t0))
+    if return_strategy:
+        return best, flops_step, sampler._epoch_fn._chain_strategy
     return best, flops_step
 
 
@@ -100,26 +103,32 @@ def main():
     except Exception:
         steps_bf16 = tflops_bf16 = mfu_bf16 = None
 
-    # multi-chain section: chains as a vmapped batch axis is the
-    # framework's own answer to the overhead-bound small-model config
-    # (engine.py vmap over the epoch program) — report aggregate steps/s +
-    # MFU next to the single-chain headline. bf16 compute (the TPU dtype;
-    # the per-chain protocol is unchanged).
+    # multi-chain section: chains advance inside ONE epoch program
+    # (engine.make_epoch_fn chain_strategy; 'auto' resolves to scan for conv
+    # models — weight-vmapped convs lower to grouped convolutions and
+    # regress below single-chain, measured in assets/preresnet_decomp.json).
+    # bf16 compute (the TPU dtype; the per-chain protocol is unchanged).
+    # An aggregate below ~single-chain is flagged explicitly: chain
+    # parallelism must never cost throughput vs running chains back-to-back.
     multichain = {}
     for n_chains in (4, 8):
         try:
-            per_chain, flops_c = _sghmc_throughput(
+            per_chain, flops_c, strategy = _sghmc_throughput(
                 cfg.build(num_classes, dtype=jnp.bfloat16), train, reps=2,
-                chains=n_chains,
+                chains=n_chains, return_strategy=True,
             )
             agg = per_chain * n_chains
             tfl_c, mfu_c = tflops_and_mfu(agg, flops_c)
-            multichain[f"chains{n_chains}"] = {
+            row = {
                 "per_chain_steps_per_sec": round(per_chain, 2),
                 "aggregate_steps_per_sec": round(agg, 2),
                 "tflops": tfl_c,
                 "mfu_pct_of_bf16_peak": mfu_c,
+                "chain_strategy": strategy,
             }
+            if steps_bf16 and agg < steps_bf16:
+                row["regression_vs_single_chain"] = round(agg / steps_bf16, 3)
+            multichain[f"chains{n_chains}"] = row
         except Exception:
             pass
 

@@ -55,6 +55,60 @@ def test_sghmc_multichain(tiny_mnist):
     assert not np.allclose(np.asarray(p[0]), np.asarray(p[1]))
 
 
+def test_chain_strategy_scan_matches_vmap(tiny_mnist):
+    """chains advanced by lax.scan produce the same per-chain draws as the
+    vmapped epoch (the throughput strategies are numerically equivalent)."""
+    import jax
+
+    splits, num_classes = tiny_mnist
+    module = _mlp_module(num_classes)
+    hyp = {"lr": 0.01, "prior_std": 1.0, "num_samples": 2, "alpha": 0.1,
+           "burn_in_epochs": 1}
+
+    def run(strategy):
+        s = inference.SGHMC(
+            hyp, model=module, train=splits["train"],
+            key=jax.random.PRNGKey(3), chains=2, chain_strategy=strategy,
+        )
+        assert s._epoch_fn._chain_strategy == strategy
+        s._run_epoch(noise_on=True)
+        return s._state
+
+    st_v = run("vmap")
+    st_s = run("scan")
+    for a, b in zip(jax.tree.leaves(st_v.params), jax.tree.leaves(st_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_chain_strategy_auto_rule(tiny_mnist):
+    """auto = scan iff the model has conv kernels (grouped-convolution
+    pathology under weight-vmap); dense models keep the vmapped epoch."""
+    import jax
+
+    from ursabench_tpu.inference.engine import make_epoch_fn
+
+    splits, num_classes = tiny_mnist
+    mlp_fn = inference.SGHMC(
+        {"lr": 0.01, "prior_std": 1.0, "num_samples": 2, "alpha": 0.1,
+         "burn_in_epochs": 1},
+        model=_mlp_module(num_classes), train=splits["train"],
+        key=jax.random.PRNGKey(0), chains=2,
+    )._epoch_fn
+    assert mlp_fn._chain_strategy == "vmap"
+
+    conv_splits, C = data.loaders(
+        "CIFAR10", None, batch_size=16, use_validation=False,
+        synthetic_n_train=32, synthetic_n_test=16,
+    )
+    conv = models.get_model("PreResNet8").build(C)
+    conv_fn = make_epoch_fn(
+        conv, conv_splits["train"],
+        lr_fn=lambda hyp, e, b, s: hyp["lr0"],
+        update_fn=None, chains=2,
+    )  # jit is lazy: building the fn never compiles
+    assert conv_fn._chain_strategy == "scan"
+
+
 def test_csghmc_harvest_schedule(tiny_mnist):
     import jax
 

@@ -167,7 +167,11 @@ class HostStreamingSplit:
     def num_batches(self) -> int:
         return self.n // self.batch_size
 
-    def epoch(self) -> Iterator:
+    def epoch(self, sharding=None) -> Iterator:
+        """Yield (x, y) device batches for one shuffled epoch. With a
+        ``sharding`` (e.g. NamedSharding over the mesh 'data' axis) every
+        batch is device_put straight into that layout — the streamed
+        multi-chip path (engine.make_sharded_streaming_step_fn)."""
         import jax
 
         mean = np.asarray(self.spec.mean, np.float32)
@@ -179,8 +183,11 @@ class HostStreamingSplit:
         if nb == 0:
             return
         lib = _load_lib()
-        if lib is not None:
-            yield from self._native_epoch(jax, lib, mean, std, epoch_seed)
+        # native contract (dataio.cc ursa_stream_create): <=16 channels,
+        # n >= batch; anything else uses the numpy gather path
+        if lib is not None and self.images.shape[3] <= 16 and self.n >= bsz:
+            yield from self._native_epoch(jax, lib, mean, std, epoch_seed,
+                                          sharding)
             return
         # numpy fallback: gather on the consumer thread, rely on async
         # device dispatch for (partial) overlap
@@ -192,7 +199,7 @@ class HostStreamingSplit:
         def host_batch(i):
             idx = order[i * bsz: (i + 1) * bsz]
             x, y = gather_normalize(self.images, self.labels, idx, mean, std)
-            return jax.device_put(x), jax.device_put(y)
+            return jax.device_put(x, sharding), jax.device_put(y, sharding)
 
         nxt = host_batch(0)
         for i in range(nb):
@@ -201,7 +208,7 @@ class HostStreamingSplit:
                 nxt = host_batch(i + 1)
             yield cur
 
-    def _native_epoch(self, jax, lib, mean, std, epoch_seed):
+    def _native_epoch(self, jax, lib, mean, std, epoch_seed, sharding=None):
         """True background prefetch: the C++ worker thread gathers batch
         i+1..i+depth while Python dispatches batch i to the device (the
         blocking ursa_stream_next call releases the GIL)."""
@@ -219,7 +226,7 @@ class HostStreamingSplit:
             _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
             epoch_seed & (2 ** 64 - 1), 1 if self.shuffle else 0, 2,
         )
-        if not handle:  # shape outside the native contract: fall back
+        if not handle:  # contract pre-checked in epoch(); this is a real bug
             raise RuntimeError("ursa_stream_create failed")
         try:
             out_x = np.empty((self.batch_size, h, w, c), np.float32)
@@ -233,6 +240,7 @@ class HostStreamingSplit:
                     return
                 # copy before device_put: the stream reuses these buffers
                 # for the next batch and device_put may defer its read
-                yield jax.device_put(out_x.copy()), jax.device_put(out_y.copy())
+                yield (jax.device_put(out_x.copy(), sharding),
+                       jax.device_put(out_y.copy(), sharding))
         finally:
             lib.ursa_stream_destroy(handle)

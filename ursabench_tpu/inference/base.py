@@ -27,6 +27,7 @@ class _Inference:
         key: Optional[jax.Array] = None,
         chains: int = 1,
         mesh=None,
+        chain_strategy: str = "auto",
     ):
         if model_loss != "multi_class_linear_output":
             raise NotImplementedError(model_loss)
@@ -36,6 +37,9 @@ class _Inference:
         self.key = key if key is not None else jax.random.PRNGKey(0)
         self.chains = int(chains)
         self.mesh = mesh  # ('chain', ...) mesh: chain axis sharded across devices
+        # how chains>1 execute on one chip: 'vmap' | 'scan' | 'auto'
+        # (engine.make_epoch_fn docstring; auto = scan iff conv model)
+        self.chain_strategy = chain_strategy
         self.hyperparameters = hyperparameters
         self._val_loss_cache = {}
 

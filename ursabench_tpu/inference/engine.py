@@ -49,6 +49,16 @@ def cross_entropy_mean(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
 
+def _has_conv_params(module, spec_shape) -> bool:
+    """True iff the abstract param tree contains 4-D kernels (flax Conv).
+    Zero-FLOP probe (eval_shape) used by the chain-strategy auto rule."""
+    shapes = jax.eval_shape(
+        lambda k: init_variables(module, k, spec_shape),
+        jax.random.PRNGKey(0),
+    )
+    return any(len(l.shape) == 4 for l in jax.tree.leaves(shapes["params"]))
+
+
 def make_epoch_fn(
     module,
     split: DataSplit,
@@ -59,14 +69,22 @@ def make_epoch_fn(
     chains: int = 1,
     mesh=None,
     vmap_hyp: bool = False,
+    chain_strategy: str = "auto",
 ):
     """Build ``epoch_fn(state, epoch, noise_on, hyp) -> (state, mean_loss)``:
     one full shuffled epoch as a single jitted scan, with all continuous
     hyperparameters flowing through the traced ``hyp`` dict (compile once
     per sampler instance; hyperopt sweeps pay zero recompiles). With
     ``chains > 1`` the state carries a leading chain axis and the whole
-    epoch program is vmapped — independent MCMC chains advance in one
-    device program. ``vmap_hyp=True`` additionally maps the hyp dict's
+    epoch program advances every chain in one device program —
+    ``chain_strategy`` picks how: ``"vmap"`` batches chain-stacked weights
+    (XLA lowers the convs to grouped convolutions — slow for conv models:
+    8 vmapped PreResNet-20 chains aggregate 811 steps/s vs 1586 single-chain
+    fp32, assets/preresnet_decomp.json), ``"scan"`` advances the chains
+    sequentially inside one ``lax.scan`` reusing the single-chain kernels,
+    and ``"auto"`` (default) picks scan iff the model has conv kernels —
+    the chain-axis mirror of the ensemble engines' ``member_strategy``
+    rule (profiling/latency.py:55-66). ``vmap_hyp=True`` additionally maps the hyp dict's
     leaves over the same leading axis: the chain axis becomes a CONFIG
     axis (each "chain" trains under its own hyperparameters — the
     vectorized-sweep machinery, inference/vectorized.py).
@@ -77,33 +95,58 @@ def make_epoch_fn(
     the exact global-mean gradient (the production multi-chip path — the
     traced-hyp contract is identical, so update_hyp never recompiles here
     either)."""
-    if (mesh is not None and "data" in mesh.shape and mesh.shape["data"] > 1):
+    data_mesh = (mesh is not None and "data" in mesh.shape
+                 and mesh.shape["data"] > 1)
+    if hasattr(split, "epoch"):  # HostStreamingSplit: beyond-HBM datasets
+        # same epoch_fn contract, but batches stream from the C++ host
+        # pipeline (data/native.py) through the single-batch jitted step —
+        # any epoch-driven sampler takes a streaming split transparently.
+        # With a data mesh each streamed GLOBAL batch is device_put sharded
+        # over 'data' and the step psums the exact global-mean gradient
+        # (the ImageNet-scale config: beyond-HBM data * multi-chip).
+        assert chains == 1 and not vmap_hyp, (
+            "host-streaming epochs are single-chain"
+        )
+        assert split.num_batches > 0, (
+            f"streaming split has {split.n} samples < one batch "
+            f"({split.batch_size}) — no batches to train on"
+        )
+        if data_mesh:
+            assert mesh.shape.get("chain", 1) == 1, (
+                "streamed epochs shard over 'data' only (chain axis must be 1)"
+            )
+            assert split.batch_size % mesh.shape["data"] == 0, (
+                (split.batch_size, mesh.shape["data"])
+            )
+            step = make_sharded_streaming_step_fn(
+                module, mesh, lr_fn=lr_fn, update_fn=update_fn,
+                spec=split.spec if use_augment else None,
+            )
+            batch_sharding = step._batch_sharding
+        else:
+            assert mesh is None, "streaming meshes must have a 'data' axis > 1"
+            step = make_streaming_step_fn(
+                module, lr_fn=lr_fn, update_fn=update_fn,
+                spec=split.spec if use_augment else None,
+            )
+            batch_sharding = None
+
+        def streaming_epoch_fn(state, epoch, noise_on, hyp):
+            state, losses = run_streaming_epoch(
+                step, state, split, epoch, noise_on, hyp,
+                sharding=batch_sharding,
+            )
+            return state, jnp.stack(losses).mean()
+
+        streaming_epoch_fn._cache_size = step._cache_size
+        return streaming_epoch_fn
+    if data_mesh:
         assert not vmap_hyp, "vmap_hyp sweeps don't take a data mesh (yet)"
         return _make_sharded_epoch_fn(
             module, split, lr_fn=lr_fn, update_fn=update_fn,
             use_augment=use_augment, chains=chains, mesh=mesh,
         )
     assert not (vmap_hyp and chains == 1), "vmap_hyp requires chains/K > 1"
-    if hasattr(split, "epoch"):  # HostStreamingSplit: beyond-HBM datasets
-        # same epoch_fn contract, but batches stream from the C++ host
-        # pipeline (data/native.py) through the single-batch jitted step —
-        # any epoch-driven sampler takes a streaming split transparently
-        assert chains == 1 and mesh is None and not vmap_hyp, (
-            "host-streaming epochs are single-chain, single-device"
-        )
-        step = make_streaming_step_fn(
-            module, lr_fn=lr_fn, update_fn=update_fn,
-            spec=split.spec if use_augment else None,
-        )
-
-        def streaming_epoch_fn(state, epoch, noise_on, hyp):
-            state, losses = run_streaming_epoch(
-                step, state, split, epoch, noise_on, hyp
-            )
-            return state, jnp.stack(losses).mean()
-
-        streaming_epoch_fn._cache_size = step._cache_size
-        return streaming_epoch_fn
     images, labels = split.device_arrays()
     spec = split.spec
     n = split.n
@@ -168,15 +211,37 @@ def make_epoch_fn(
     # program is shape-only and the compilation cache survives across
     # datasets and processes.
     hyp_axis = 0 if vmap_hyp else None
-    fn = (epoch_impl if chains == 1
-          else jax.vmap(epoch_impl, in_axes=(0, None, None, None, None,
-                                             hyp_axis)))
+    strategy = chain_strategy
+    if chains == 1:
+        fn = epoch_impl
+        strategy = None
+    else:
+        if strategy == "auto":
+            strategy = ("scan" if _has_conv_params(module, spec.shape)
+                        else "vmap")
+        if strategy == "vmap":
+            fn = jax.vmap(epoch_impl, in_axes=(0, None, None, None, None,
+                                               hyp_axis))
+        else:
+            assert strategy == "scan", strategy
+
+            def fn(state, images, labels, epoch, noise_on, hyp):
+                def body(_, xs):
+                    st, h = xs if vmap_hyp else (xs, hyp)
+                    out = epoch_impl(st, images, labels, epoch, noise_on, h)
+                    return None, out
+
+                xs = (state, hyp) if vmap_hyp else state
+                _, (new_state, losses) = jax.lax.scan(body, None, xs)
+                return new_state, losses
+
     jitted = jax.jit(fn, donate_argnums=(0,))
 
     def epoch_fn(state, epoch, noise_on, hyp):
         return jitted(state, images, labels, epoch, noise_on, hyp)
 
     epoch_fn._cache_size = jitted._cache_size  # no-recompile tests probe this
+    epoch_fn._chain_strategy = strategy  # resolved 'auto' (None if chains==1)
     return epoch_fn
 
 
@@ -356,12 +421,85 @@ def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
     return step
 
 
+def make_sharded_streaming_step_fn(module, mesh, *, lr_fn: LrFn,
+                                   update_fn: UpdateFn, spec=None):
+    """Data-parallel single-batch training step for host-streamed data:
+    the streamed global batch arrives sharded over the mesh 'data' axis
+    (``step._batch_sharding`` — the stream device_puts straight into that
+    layout, one shard per chip) and one psum reconstructs the exact
+    global-mean gradient, so streamed+sharded training matches the in-HBM
+    sharded epoch semantics (`_make_sharded_epoch_fn`). State is replicated;
+    the update uses one noise/key stream so every shard computes the same
+    parameters. Augmentation/dropout randomness is per-shard (different
+    samples get different masks)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    do_augment = spec is not None and (spec.random_crop_pad or spec.random_flip)
+    data_shards = mesh.shape["data"]
+
+    def loss_fn(params, batch_stats, x, y, dropout_key):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits, mutated = module.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        # sum + global count: the psum'd pair reconstructs the global mean
+        return ce.sum(), mutated.get("batch_stats", {})
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def local_step(state: TrainState, x, y, epoch, batch_idx, noise_on, hyp):
+        data_idx = jax.lax.axis_index("data")
+        key, k_noise, k_drop, k_aug = jax.random.split(state.key, 4)
+        if do_augment:
+            x = augment_normalized(jax.random.fold_in(k_aug, data_idx), x, spec)
+        (loss_sum, new_bstats), grads = grad_fn(
+            state.params, state.batch_stats, x, y,
+            jax.random.fold_in(k_drop, data_idx),
+        )
+        n_global = float(x.shape[0] * data_shards)
+        # psum of local grads, never grad-through-psum (CLAUDE.md invariant)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, "data") / n_global, grads
+        )
+        loss = jax.lax.psum(loss_sum, "data") / n_global
+        if new_bstats:
+            new_bstats = jax.tree.map(
+                lambda s: jax.lax.pmean(s, "data"), new_bstats
+            )
+        else:
+            new_bstats = state.batch_stats
+        lr = lr_fn(hyp, epoch, batch_idx, state.step)
+        params, mom = update_fn(
+            state.params, state.momentum, grads, hyp,
+            lr=lr, noise_on=noise_on, is_first_step=(state.step == 0),
+            key=k_noise,
+        )
+        return TrainState(params, mom, new_bstats, key, state.step + 1), loss
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    step = jax.jit(sharded, donate_argnums=(0,))
+    step._batch_sharding = NamedSharding(mesh, P("data"))
+    return step
+
+
 def run_streaming_epoch(step_fn, state: TrainState, stream, epoch: int,
-                        noise_on: float, hyp: dict):
+                        noise_on: float, hyp: dict, sharding=None):
     """Drive one epoch from a HostStreamingSplit: host gather of batch i+1
-    overlaps device compute of batch i (the stream double-buffers)."""
+    overlaps device compute of batch i (the stream double-buffers). With a
+    ``sharding`` each streamed batch lands on the mesh pre-sharded over
+    'data' (the beyond-HBM multi-chip path)."""
     losses = []
-    for bi, (x, y) in enumerate(stream.epoch()):
+    for bi, (x, y) in enumerate(stream.epoch(sharding=sharding)):
         state, loss = step_fn(
             state, x, y, jnp.asarray(float(epoch)), jnp.asarray(bi),
             jnp.asarray(noise_on), hyp,

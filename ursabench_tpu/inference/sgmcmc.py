@@ -85,9 +85,9 @@ class SGHMC(_Inference):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
-                 mesh=None):
+                 mesh=None, chain_strategy="auto"):
         super().__init__(hyperparameters, model, train, model_loss, key, chains,
-                         mesh)
+                         mesh, chain_strategy)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._epoch_fn = None
@@ -124,7 +124,7 @@ class SGHMC(_Inference):
             self._epoch_fn = make_epoch_fn(
                 self.module, self.train, lr_fn=_cosine_hyp_lr,
                 update_fn=_sghmc_hyp_update, chains=self.chains,
-                mesh=self.mesh,
+                mesh=self.mesh, chain_strategy=self.chain_strategy,
             )
         self._state = self._init_state()
 
@@ -231,9 +231,9 @@ class cSGHMC(_Inference):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
-                 mesh=None):
+                 mesh=None, chain_strategy="auto"):
         super().__init__(hyperparameters, model, train, model_loss, key, chains,
-                         mesh)
+                         mesh, chain_strategy)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._epoch_fn = None
@@ -275,7 +275,7 @@ class cSGHMC(_Inference):
             self._epoch_fn = make_epoch_fn(
                 self.module, self.train, lr_fn=_cyclic_hyp_lr,
                 update_fn=_sghmc_hyp_update, chains=self.chains,
-                mesh=self.mesh,
+                mesh=self.mesh, chain_strategy=self.chain_strategy,
             )
         self._state = SGHMC._init_state(self)
 

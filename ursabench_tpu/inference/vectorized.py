@@ -73,7 +73,7 @@ class MethodSweep:
 
     def __init__(self, hyp_list: Sequence[dict], model=None, train=None,
                  key=None, method: str = "SGHMC",
-                 eta_min_fraction: float = 0.0):
+                 eta_min_fraction: float = 0.0, chain_strategy: str = "auto"):
         assert len(hyp_list) >= 1
         del eta_min_fraction  # ctor semantics == each sampler's ctor (0.0)
         self.module = model
@@ -107,6 +107,7 @@ class MethodSweep:
         self._epoch_fn = make_epoch_fn(
             self.module, self.train, lr_fn=cls._LR_FN,
             update_fn=cls._UPDATE_FN, chains=self.K, vmap_hyp=True,
+            chain_strategy=chain_strategy,
         )
         self.epochs_run = 0
 
