@@ -11,7 +11,7 @@ dense layer, away from conv/layout effects:
                dot_general(int8, int8) -> int32, rescale (native int8 MXU
                throughput, 2x bf16 peak on v5e-class chips)
   int8-pallas: the same int8-mxu computation as a hand-written Pallas
-               weight-streaming kernel (ops/pallas_int8.py): W tiles
+               weight-streaming kernel (benchmarks/pallas_int8.py): W tiles
                pipelined HBM->VMEM, int8 MXU dot per tile
 
 Each regime runs K iterations inside one jitted lax.fori_loop with the
@@ -102,7 +102,7 @@ def main():
         # scale: per-output-channel weight scale x activation scale
         return acc.astype(jnp.float32) * (s.T.astype(jnp.float32) * xs)
 
-    from ursabench_tpu.ops.pallas_int8 import int8_matvec
+    from benchmarks.pallas_int8 import int8_matvec
 
     # the mxu/deq variants serve W' = (q * scale).T (per-column scales of q
     # are per-row scales of q.T); hand the kernel the same contiguous view

@@ -1,5 +1,11 @@
 """Pallas TPU kernel: int8 weight-streaming matvec for batch-1 serving.
 
+PROBE STATUS (r4): lives in benchmarks/, not the package — the
+committed microbench shows plain XLA int8 dequant-dot already ties it
+(assets/int8_microbench.json), so the production int8 engines
+(profiling/quantize.py) ship the XLA path; this kernel is kept as the
+measured evidence for that decision.
+
 The batch-1 ensemble-serving regime is weight-traffic-bound (the premise of
 the int8 engines, profiling/quantize.py). This kernel streams the int8
 weight matrix through VMEM in wide row tiles (Pallas's grid pipeline

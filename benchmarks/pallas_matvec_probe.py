@@ -8,7 +8,7 @@ chained fori_loops (amortizing dispatch):
 
   dma_only   : same grid/BlockSpec as the kernel but the tile is only
                corner-summed -> pure HBM->VMEM pipeline rate.
-  mxu_t512   : shipped kernel (ops/pallas_int8.py), tile_n=512.
+  mxu_t512   : shipped kernel (benchmarks/pallas_int8.py), tile_n=512.
   mxu_t2048  : same, tile_n=2048 (fewer, bigger DMAs).
   mxu_row    : rhs as a (1, K) row vector, contracting dim 1 x dim 1
                (lane-friendly rhs layout, no (K,1) column padding).
@@ -141,7 +141,7 @@ def chain_loop(body, x0):
 
 
 def main():
-    from ursabench_tpu.ops.pallas_int8 import int8_matvec
+    from benchmarks.pallas_int8 import int8_matvec
     from ursabench_tpu.profiling.hw import device_peaks
     from ursabench_tpu.util import enable_compilation_cache
 

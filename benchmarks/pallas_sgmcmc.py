@@ -1,5 +1,10 @@
 """Pallas TPU kernel: fused SGHMC update with on-chip Langevin noise.
 
+PROBE STATUS (r4): lives in benchmarks/, not the package — the
+production SGHMC path (ops/sgmcmc.py) is already fused by XLA into
+the epoch program; this kernel is the measured alternative kept as
+evidence (noise-std and KS-normality verified on TPU hardware).
+
 The SGHMC step (ops/sgmcmc.py, mirroring optim_sghmc.py:43-67) is
 bandwidth-bound: read (p, v, g), write (p, v), plus Gaussian noise. XLA
 fuses the arithmetic but generates the noise through a separate threefry

@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
-from ursabench_tpu.ops.pallas_sgmcmc import sghmc_update_flat
+from benchmarks.pallas_sgmcmc import sghmc_update_flat
 
 ON_TPU = jax.devices()[0].platform != "cpu"
 
@@ -66,7 +66,7 @@ def test_pallas_int8_matvec_matches_reference():
     """The weight-streaming int8 matvec == the XLA int8-mxu computation
     (same per-tensor activation quant, per-row weight scales) exactly, and
     tracks the unquantized f32 matvec within quantization error."""
-    from ursabench_tpu.ops.pallas_int8 import int8_matvec
+    from benchmarks.pallas_int8 import int8_matvec
 
     rng = np.random.default_rng(1)
     n, k = 512, 256
