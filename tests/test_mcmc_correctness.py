@@ -73,3 +73,69 @@ def test_hmc_samples_gaussian():
     # marginal variance should be near 1/tau (prior-dominated posterior)
     v = flat.var(axis=0).mean()
     assert v == pytest.approx(1.0 / tau, rel=0.5)
+
+def test_sq_diff_sum_f64_oracle():
+    """The difference-form energy term matches a float64 oracle at a scale
+    where the naive f32 ``sum(a^2) - sum(b^2)`` has lost the entire signal
+    (the old ~2e5-dim HMC bound, now lifted — inference/hmc.py docstring)."""
+    from ursabench_tpu.inference.hmc import _sq_diff_sum
+
+    rng = np.random.default_rng(0)
+    n = 4_000_000
+    base = rng.standard_normal(n).astype(np.float32) * 3.0  # sum(b^2) ~ 3.6e7
+    move = rng.standard_normal(n).astype(np.float32) * 1e-4  # leapfrog-size
+    a, b = base + move, base
+
+    exact = float(np.sum(a.astype(np.float64) ** 2)
+                  - np.sum(b.astype(np.float64) ** 2))
+    stable = float(_sq_diff_sum(jnp.asarray(a), jnp.asarray(b)))
+    naive = float(jnp.sum(jnp.asarray(a) ** 2) - jnp.sum(jnp.asarray(b) ** 2))
+
+    assert abs(stable - exact) / abs(exact) < 1e-4
+    # the naive form's error is dominated by rounding of the ~3.6e7-scale
+    # sums — orders of magnitude worse than the difference form
+    assert abs(naive - exact) > 50 * abs(stable - exact)
+
+
+def test_hmc_large_model_energy():
+    """HMC on a >=1e6-param model: with the difference-form MH log-ratio the
+    acceptance is healthy and the prior-dominated posterior's analytic
+    marginal variance 1/tau is reproduced — the regime where the absolute
+    f32 energies carry O(1)+ rounding noise (VERDICT r3 item 4)."""
+    import flax.linen as nn
+
+    from ursabench_tpu import data
+    from ursabench_tpu.inference import HMC
+
+    class Wide(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = x.reshape((x.shape[0], -1))
+            return nn.Dense(10)(jnp.tanh(nn.Dense(1280)(x)))
+
+    splits, C = data.loaders("MNIST", None, batch_size=16, use_validation=False,
+                             synthetic_n_train=16, synthetic_n_test=16)
+    tau = 400.0  # prior dominates the 16-point likelihood
+    # eps*sqrt(tau) = 0.04 ~ d^(-1/4) scale keeps stationary acceptance
+    # high at 1e6 dims; L*eps*sqrt(tau) ~ 0.64 rad keeps the chain mixing
+    hmc = HMC({"step_size": 0.002, "num_samples": 120, "L": 16, "tau": tau,
+               "burn": 40, "mass": 1.0, "draw_chunk": 40},
+              model=Wide(), train=splits["train"], key=jax.random.PRNGKey(0))
+    n_params = int(sum(np.prod(l.shape) for l in jax.tree.leaves(hmc._params0)))
+    assert n_params > 1_000_000, n_params
+    # start in the prior's typical set: a flax fan-in init has
+    # sum(theta^2) ~ d/fan_in << d/tau, and the relaxation transient's
+    # leapfrog error (~eps^2 * energy-exchanged ~ 12 nats here) correctly
+    # rejects everything — a target-geometry effect, not a numerics one
+    hmc._theta0 = (jax.random.normal(jax.random.PRNGKey(42),
+                                     hmc._theta0.shape) / jnp.sqrt(tau))
+    ens = hmc.sample()
+    assert 0.0 < hmc.accept_rate < 1.0
+    assert hmc.accept_rate > 0.6  # small-step acceptance must be healthy
+    flat = np.stack([
+        np.concatenate([np.ravel(l) for l in jax.tree.leaves(ens.member(i)["params"])])
+        for i in range(ens.num_members)
+    ])
+    # 1e6 dims average the per-dim variance estimate very tightly
+    v = flat.var(axis=0).mean()
+    assert v == pytest.approx(1.0 / tau, rel=0.35)

@@ -20,6 +20,16 @@ one psum per evaluation (the full-batch gradient is the most
 data-parallel-friendly computation in the zoo; the reference has no
 distributed HMC at all). log-target:
     log p(theta) = -tau_out * CE_sum(data; theta) - 0.5 * tau * ||theta||^2
+
+Numerics: TPUs have no native f64, so instead of hamiltorch's
+torch-float64 energies (reference hmc.py:71-75) the MH log-ratio is
+computed entirely in DIFFERENCES — the prior and kinetic terms as
+``sum((a-b)*(a+b))`` (every summand scales with the leapfrog MOVE, not the
+absolute energy, so f32 keeps full precision at any parameter count) and
+the carried data term is the CE sum alone (magnitude ~n*log(C), f32-safe).
+A naive f32 ``H_cur - H_new`` is rounding noise once ``0.5*tau*||theta||^2``
+crosses ~2**24 (~2e5 dims at unit scale); the difference form removes that
+bound (tests/test_mcmc_correctness.py::test_hmc_large_model_energy).
 """
 
 from __future__ import annotations
@@ -32,6 +42,15 @@ from ..data.transforms import normalize
 from ..util import ravel, tree_stack, unraveler
 from .base import _Inference
 from .ensemble import Ensemble
+
+
+def _sq_diff_sum(a, b):
+    """``sum(a**2) - sum(b**2)`` computed as ``sum((a-b)*(a+b))``: each
+    summand is scaled by the move ``a-b`` (Sterbenz-exact for the small
+    leapfrog steps), so the result is conditioned on the ENERGY DIFFERENCE
+    rather than the absolute energy — f32-safe at 36M+ params where the
+    naive form loses every significant bit."""
+    return jnp.sum((a - b) * (a + b))
 
 
 class HMC(_Inference):
@@ -135,7 +154,8 @@ class HMC(_Inference):
             if bstats:
                 variables["batch_stats"] = bstats
 
-            def body(total, b_idx):
+            def body(carry, b_idx):
+                total, comp = carry
                 if data_shards > 1:
                     b_idx = jax.lax.dynamic_slice(
                         b_idx,
@@ -150,16 +170,27 @@ class HMC(_Inference):
                     rngs={"dropout": jax.random.PRNGKey(0)},
                 )
                 ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-                return total + jnp.sum(ce * valid), None
+                # Kahan accumulation: the CE sum is carried across draws as
+                # the MH data term, so keep its low-order bits across batches
+                val = jnp.sum(ce * valid) - comp
+                t = total + val
+                return (t, (t - total) - val), None
 
-            ll_sum, _ = jax.lax.scan(body, 0.0, batches)
+            (ll_sum, _), _ = jax.lax.scan(body, (0.0, 0.0), batches)
             return ll_sum
 
-        def neg_log_post(theta, images, labels):
+        def global_nll(theta, images, labels):
             ll_sum = local_nll(theta, images, labels)
             if data_shards > 1:
                 ll_sum = jax.lax.psum(ll_sum, "data")
-            return tau_out * ll_sum + 0.5 * tau * jnp.sum(theta ** 2)
+            return ll_sum
+
+        def neg_log_post(theta, images, labels):
+            # gradient-path potential only; MH accept never evaluates this
+            # (the absolute 0.5*tau*||theta||^2 term is what overflows f32
+            # significance at large P — see the module docstring)
+            return (tau_out * global_nll(theta, images, labels)
+                    + 0.5 * tau * jnp.sum(theta ** 2))
 
         if data_shards > 1:
             # the gradient analogue of engine._make_sharded_epoch_fn:
@@ -174,8 +205,11 @@ class HMC(_Inference):
         else:
             grad_u = jax.grad(neg_log_post)
 
-        def draw(theta, u_cur, key, images, labels):
-            """One HMC transition for one chain."""
+        def draw(theta, ll_cur, key, images, labels):
+            """One HMC transition for one chain. Carries the CE sum
+            (``ll_cur``), not the full potential: the MH log-ratio is formed
+            purely from differences so f32 keeps full precision at any
+            parameter count (module docstring)."""
             k_mom, k_acc = jax.random.split(key)
             # momentum ~ N(0, M) with M = mass * I; kinetic = 0.5 p^T M^-1 p
             p0 = jax.random.normal(k_mom, theta.shape) * jnp.sqrt(self.mass)
@@ -195,17 +229,23 @@ class HMC(_Inference):
             )
             # the scan subtracted a full eps*g on the last step; roll back half
             p_new = p_over + 0.5 * eps * g_last
-            u_new = neg_log_post(theta_new, images, labels)
-            h_cur = u_cur + 0.5 * inv_mass * jnp.sum(p0 ** 2)
-            h_new = u_new + 0.5 * inv_mass * jnp.sum(p_new ** 2)
-            accept = jnp.log(jax.random.uniform(k_acc)) < (h_cur - h_new)
+            ll_new = global_nll(theta_new, images, labels)
+            # log alpha = H_cur - H_new, every term a difference:
+            #   data:    tau_out * (ll_cur - ll_new)         (~n*log(C) scale)
+            #   prior:   -0.5*tau     * (sum th_new^2 - sum th^2)
+            #   kinetic: -0.5*M^-1    * (sum p_new^2  - sum p0^2)
+            log_ratio = (tau_out * (ll_cur - ll_new)
+                         - 0.5 * tau * _sq_diff_sum(theta_new, theta)
+                         - 0.5 * inv_mass * _sq_diff_sum(p_new, p0))
+            accept = jnp.log(jax.random.uniform(k_acc)) < log_ratio
             theta = jnp.where(accept, theta_new, theta)
-            u_cur = jnp.where(accept, u_new, u_cur)
-            return theta, u_cur, accept
+            ll_cur = jnp.where(accept, ll_new, ll_cur)
+            return theta, ll_cur, accept
 
         def chunk_body(theta, u, keys, images, labels):
             """A lax.scan over draw transitions, all chains vmapped:
-            theta (C, P), u (C,), keys (k, C, 2) -> trajectory (k, C, P)."""
+            theta (C, P), u = per-chain CE sums (C,), keys (k, C, 2) ->
+            trajectory (k, C, P)."""
 
             def body(carry, ks):
                 th, uu = carry
@@ -218,7 +258,9 @@ class HMC(_Inference):
             return thetas, us, accepts
 
         def nlp_body(theta, images, labels):
-            return jax.vmap(neg_log_post, in_axes=(0, None, None))(
+            # per-chain CE sums (the carried MH data term — NOT the full
+            # potential; the prior enters the accept only as a difference)
+            return jax.vmap(global_nll, in_axes=(0, None, None))(
                 theta, images, labels
             )
 
@@ -285,7 +327,10 @@ class HMC(_Inference):
         from ..utils_checkpoint import save_pytree
 
         save_pytree(path, {
-            "theta": theta, "u": u, "key": key,
+            # "u" is the carried CE sum since r4 ("ll_format" marks it; a
+            # pre-r4 checkpoint stored the full potential there instead)
+            "theta": theta, "u": u, "ll_format": jnp.asarray(True),
+            "key": key,
             "trajectory": jnp.concatenate(
                 [trajectory[0][None]] + trajectory[1:], axis=0
             ),
@@ -303,7 +348,12 @@ class HMC(_Inference):
         resumed = getattr(self, "_resume_state", None)
         if resumed is not None and int(resumed["draws_done"]) <= num_samples:
             theta = self._place_chains(resumed["theta"])
-            u = self._place_chains(resumed["u"])
+            if resumed.get("ll_format") is not None:
+                u = self._place_chains(resumed["u"])  # carried CE sum
+            else:
+                # pre-r4 checkpoint stored the full potential: recompute
+                # the CE-sum carry from theta (deterministic eval)
+                u = self._nlp_fn(theta)
             key = resumed["key"]
             traj0 = jnp.asarray(resumed["trajectory"])
             trajectory = [traj0[0], traj0[1:]] if traj0.shape[0] > 1 else [traj0[0]]
