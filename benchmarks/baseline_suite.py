@@ -195,8 +195,11 @@ def main():
     from ursabench_tpu.util import enable_compilation_cache
 
     enable_compilation_cache()
+    from ursabench_tpu.data.sources import _SYNTH_GEN_VERSION
+
     data_path = os.environ.get("URSA_DATA", "./data")
     results = {"device": str(jax.devices()[0]),
+               "synth_gen": _SYNTH_GEN_VERSION,
                "note": "reduced budgets (protocol shapes per BASELINE.md), sized so the calibrated synthetic difficulty trains to realistic operating points"}
     for name, fn in [("config1_mlp_mnist_sgld", config1),
                      ("config2_lenet_fashion_sghmc4_swa", config2),

@@ -73,9 +73,21 @@ def test_baseline_suite_operating_points_are_realistic():
                 if "auroc" in k or "aucpr" in k:
                     assert finite(v) and 0.0 < v < 1.0, (name, mkey, k, v)
         if "ood_metrics" in cfg:
+            from ursabench_tpu.data.sources import _SYNTH_GEN_VERSION
+
+            if suite.get("synth_gen") != _SYNTH_GEN_VERSION:
+                pytest.xfail(
+                    "baseline_suite.json predates the shared-base OOD "
+                    "calibration (synth v5) — regenerate on TPU: "
+                    "benchmarks/baseline_suite.py"
+                )
             for k, v in cfg["ood_metrics"].items():
                 if "auroc" in k:
-                    assert finite(v) and 0.0 < v < 1.0, (name, k, v)
+                    # DISCRIMINATIVE operating point: independent synthetic
+                    # bases made OOD trivially separable (0.996 in r3); the
+                    # shared-base 'base_shift' calibration must keep the
+                    # task exercised below the ceiling and above chance
+                    assert finite(v) and 0.55 < v < 0.98, (name, k, v)
     assert checked >= 4, "baseline suite lost its metric blocks"
 
 

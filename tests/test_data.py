@@ -378,3 +378,35 @@ def test_end_to_end_metrics_non_degenerate():
         assert np.isfinite(m[k]) and 0.5 < m[k] <= 1.0, (k, m[k])
     for k in ("misclass_model_uncertainty_aucpr", "misclass_confidence_aucpr"):
         assert np.isfinite(m[k]) and m[k] > m["error_rate"] * 0.5, (k, m[k])
+
+
+def test_synthetic_ood_pairs_share_base_geometry():
+    """Same-shape datasets share the base image with a calibrated
+    'base_shift' offset: the distance from an OOD dataset's templates to
+    the nearest in-distribution template is comparable to (not orders of
+    magnitude beyond) in-distribution inter-class distances — the
+    discriminative OOD operating point (sources._SYNTH_DIFFICULTY_DEFAULT).
+    base_shift=0 collapses the bases exactly."""
+    from ursabench_tpu.data.sources import synthetic
+
+    def templates(name, **diff):
+        x, y = synthetic(name, True, n=2048, difficulty=diff or None)
+        x = np.asarray(x).reshape(len(x), -1).astype(np.float32)
+        return np.stack([x[y == c].mean(0) for c in range(10)])
+
+    t_id = templates("MNIST")
+    t_ood = templates("FashionMNIST")
+    # in-distribution inter-class scale
+    dd = np.linalg.norm(t_id[:, None] - t_id[None], axis=-1)
+    intra = dd[np.triu_indices(10, 1)].mean()
+    # OOD template -> nearest ID template
+    cross = np.linalg.norm(t_ood[:, None] - t_id[None], axis=-1).min(1).mean()
+    assert 0.5 * intra < cross < 3.0 * intra, (intra, cross)
+
+    # base_shift=0: the shared base cancels entirely — only class fields
+    # separate the datasets, so cross ~ intra even more tightly
+    t_id0 = templates("MNIST", base_shift=0.0)
+    t_ood0 = templates("FashionMNIST", base_shift=0.0)
+    cross0 = np.linalg.norm(t_ood0[:, None] - t_id0[None],
+                            axis=-1).min(1).mean()
+    assert cross0 < cross

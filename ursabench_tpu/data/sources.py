@@ -206,7 +206,7 @@ def read_stl10(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray] | None:
 # ---------------------------------------------------------------------------
 
 
-_SYNTH_GEN_VERSION = "v4"  # bump when the generator's RNG consumption changes
+_SYNTH_GEN_VERSION = "v5"  # bump when the generator's RNG consumption changes
 
 # Difficulty of the synthetic fallback. 'separation' is the pairwise Bayes
 # z-score between class templates (pairwise optimal error = Phi(-z)):
@@ -220,6 +220,16 @@ _SYNTH_GEN_VERSION = "v4"  # bump when the generator's RNG consumption changes
 # aleatoric error floor so even a Bayes-optimal model misclassifies.
 _SYNTH_DIFFICULTY_DEFAULT = {
     "separation": 3.0, "noise": 48.0, "label_noise": 0.02,
+    # 'base_shift' (same z-units as 'separation') is each dataset's smooth
+    # offset from the SHARED per-shape base image. Same-shape datasets used
+    # as OOD pairs (MNIST<->FashionMNIST/KMNIST, CIFAR<->SVHN) therefore
+    # overlap the in-distribution manifold at a CONTROLLABLE distance —
+    # independent bases made every OOD pairing trivially separable
+    # (AUROC ~0.996, a degenerate operating point for the OOD task).
+    # Calibrated on the MLP/MNIST<->FashionMNIST/KMNIST proxy: shift 1.0
+    # lands total/model-uncertainty AUROC ~0.65-0.78; larger shifts DROP
+    # detection (far-OOD inputs drive confidently-wrong extreme logits).
+    "base_shift": 1.0,
 }
 # Per-dataset overrides, calibrated empirically (nearest-empirical-mean
 # error, the Bayes proxy for this generative family) so trained models land
@@ -260,7 +270,7 @@ def _synth_cache_path(name: str, train: bool, n: int, seed: int,
     if root in ("", "0"):
         return None
     dtag = (f"z{diff['separation']:g}-s{diff['noise']:g}"
-            f"-ln{diff['label_noise']:g}")
+            f"-ln{diff['label_noise']:g}-b{diff['base_shift']:g}")
     tag = (f"{name}-{'train' if train else 'test'}-{n}-{seed}-{dtag}"
            f"-{_SYNTH_GEN_VERSION}")
     return os.path.join(root, tag)
@@ -389,7 +399,20 @@ def synthetic(
     # ||t_i - t_j|| = sep_px * sqrt(2*dim) in expectation; divide by 2*noise
     # to get the pairwise z-score 'separation'
     sep_px = diff["separation"] * 2.0 * noise / np.sqrt(2.0 * dim)
-    base = rng.uniform(40, 215, size=(size, size, ch)).astype(np.float32)
+    # the base image is shared across all same-shape datasets (keyed by
+    # shape, not name) + a per-dataset smooth 'base_shift' offset: OOD
+    # pairings land at a calibrated distance from the in-distribution
+    # manifold instead of a trivially separable one (resolve_difficulty)
+    base_digest = hashlib.sha256(
+        f"{size}x{size}x{ch}/ursabench-synth-base/{seed}".encode()
+    ).digest()
+    base_rng = np.random.Generator(
+        np.random.Philox(int.from_bytes(base_digest[:4], "little") % (2 ** 31))
+    )
+    base = base_rng.uniform(40, 215, size=(size, size, ch)).astype(np.float32)
+    if diff["base_shift"] > 0:
+        shift_px = diff["base_shift"] * 2.0 * noise / np.sqrt(2.0 * dim)
+        base = base + _smooth_symmetric_fields(rng, 1, size, ch)[0] * shift_px
     # class offsets are SMOOTH (low-frequency bilinear fields) and
     # left-right SYMMETRIC, normalized to unit per-pixel std so the
     # z-score semantics above hold exactly. Rationale: iid per-pixel
