@@ -66,36 +66,41 @@ def augment(key: jax.Array, images: jnp.ndarray, spec: ImageSpec,
     if spec.random_crop_pad > 0:
         p = spec.random_crop_pad
         kx, ky = jax.random.split(key)
-        # per-channel `pad_value` border with bit-exact interior
         n_, h, w, c = out.shape
-        pv = jnp.broadcast_to(
-            jnp.asarray(pad_value, out.dtype), (n_, h + 2 * p, w + 2 * p, c)
-        )
-        padded = jax.lax.dynamic_update_slice(pv, out, (0, p, p, 0))
         ox = jax.random.randint(kx, (n,), 0, 2 * p + 1)
         oy = jax.random.randint(ky, (n,), 0, 2 * p + 1)
         # crop as two one-hot einsums: selection matmuls ride the MXU where
         # a per-image gather stalls the epoch (~3x slower measured end to
-        # end on TPU v5e; exact because one-hot rows multiply by 1.0)
-        span = jnp.arange(h + 2 * p)
+        # end on TPU v5e; exact because one-hot rows multiply by 1.0).
+        # PADLESS form: contract against the UNPADDED image — the one-hot
+        # target is the source row r = ox + i - p (all-zero row when r is
+        # outside [0, h)), and the `pad_value` border is added back through
+        # the in-range indicator outer product. vs the padded form this
+        # cuts the contraction dim from h+2p to h (0.71x the MACs at
+        # CIFAR's 32/4) and never materializes the (n, h+2p, w+2p, c)
+        # padded tensor.
         fdt = out.dtype if jnp.issubdtype(out.dtype, jnp.floating) else jnp.float32
         rows = (
-            span[None, None, :]
-            == (ox[:, None, None] + jnp.arange(h)[None, :, None])
-        ).astype(fdt)
+            jnp.arange(h)[None, None, :]
+            == (ox[:, None, None] - p + jnp.arange(h)[None, :, None])
+        ).astype(fdt)  # (n, i, r): source row of crop row i (0 if border)
         jsel = jnp.arange(w)[None, :]
         if flip is not None:
             # fuse the horizontal flip into the column one-hot:
-            # flip(crop(img))[i, j] == padded[ox+i, oy + (w-1-j)], so a
+            # flip(crop(img))[i, j] == src[ox+i-p, oy + (w-1-j) - p], so a
             # per-image reversed column target is bit-exact flip-after-crop
             # and saves a full-batch reverse+select pass per step
             jsel = jnp.where(flip[:, None], w - 1 - jsel, jsel)
         cols = (
-            span[None, None, :]
-            == (oy[:, None, None] + jsel[:, :, None])
-        ).astype(fdt)
-        t = jnp.einsum("nia,nabc->nibc", rows, padded.astype(fdt))
-        out = jnp.einsum("njb,nibc->nijc", cols, t).astype(out.dtype)
+            jnp.arange(w)[None, None, :]
+            == (oy[:, None, None] - p + jsel[:, :, None])
+        ).astype(fdt)  # (n, j, s): source col of crop col j (0 if border)
+        t = jnp.einsum("nir,nrsc->nisc", rows, out.astype(fdt))
+        interior = jnp.einsum("njs,nisc->nijc", cols, t)
+        # border: both selectors in range -> interior value; else pad_value
+        in_range = (rows.sum(2)[:, :, None] * cols.sum(2)[:, None, :])
+        pv = jnp.asarray(pad_value, fdt)
+        out = (interior + (1.0 - in_range)[..., None] * pv).astype(out.dtype)
     elif flip is not None:
         out = jnp.where(flip[:, None, None, None], out[:, :, ::-1, :], out)
     return out
