@@ -192,6 +192,20 @@ def test_profiling_sweep(tmp_path):
         cache5 = run_sweep(cfgs, cache_path, amortize_k=4)
         for r in cache5.values():
             assert r["amortized_loop_k"] == 8  # not downgraded
+
+        # a per-call-only re-measure of an amortized row must NOT replace
+        # the amortized-derived cost fields with RPC-floored per-call ones
+        cache6_path = str(tmp_path / "cache6.json")
+        run_sweep(cfgs, cache6_path, amortize_k=4, per_call=False)
+        with open(cache6_path) as f:
+            import json as _json
+            before = _json.load(f)
+        cache6 = run_sweep(cfgs, cache6_path, amortize_k=4, per_call=True)
+        for k, r in cache6.items():
+            assert r["latency_mean_s"] > 0  # per-call fields were added
+            for fld in ("achieved_tflops", "hbm_gb_per_sec"):
+                if fld in before[k]:
+                    assert r[fld] == before[k][fld], fld
     finally:
         lat.WARM_UP_ITERS, lat.REPS_PER_BATCH, lat.BURN_IN_BATCHES = orig
 
@@ -274,12 +288,14 @@ def test_experiment_pretrained_model_path(tmp_path):
         "--dataset", "MNIST", "--model", "MLP200MNIST",
         "--inference_method", "SGLD", "--task", "Prediction", "--use_val",
         "--batch_size", "32", "--pretrained_model_path", ckpt,
+        "--save_path", str(tmp_path / "val"),
         "--hyperparams",
         json.dumps({"lr": 0.01, "prior_std": 1.0, "num_samples": 1,
                     "burn_in_epochs": 0}),
         "--synthetic_n_train", "96", "--synthetic_n_test", "32",
     ])
     assert "error_rate" in perf
+    assert (tmp_path / "valresults.csv").exists()  # not written to CWD
 
 
 def test_engine_export_roundtrip(tmp_path):

@@ -187,7 +187,7 @@ def main(argv=None):
         perf = task.get_performance_metrics()
         hyp_values = [hyperparams[k] for k in sorted(hyperparams)] if hyperparams else []
         perf_values = [perf[k] for k in sorted(perf)]
-        with open("results.csv", "a+") as f:
+        with open((args.save_path or "") + "results.csv", "a+") as f:
             csv.writer(f, dialect="excel").writerow([
                 args.dataset, args.model, args.seed, args.inference_method,
                 args.task, args.batch_size, *hyp_values, *perf_values,

@@ -429,6 +429,14 @@ def run_sweep(configs, cache_path: str, trace_dir: str | None = None,
                              amortize_k=amortize_k if need_amort else 0,
                              per_call=need_call,
                              member_strategy=member_strategy)
+        if not need_amort and "amortized_latency_s" in prev:
+            # a per-call-only re-measure must not overwrite the cached
+            # amortized-derived cost fields with RPC-floored per-call ones
+            # (the amortized latency is the chip-true basis for MFU/HBM)
+            for k in ("achieved_tflops", "mfu_pct_of_bf16_peak",
+                      "hbm_bytes_accessed", "hbm_gb_per_sec",
+                      "hbm_bw_pct_of_peak"):
+                res.pop(k, None)
         cache[cfg.key()] = {**prev, **res}
         with open(cache_path, "w") as f:
             json.dump(cache, f, indent=1)
