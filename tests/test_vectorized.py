@@ -161,3 +161,30 @@ def test_method_sweep_sgd_and_random_search_method():
         assert False, "expected shared-schedule assertion"
     except AssertionError as e:
         assert "burn_in_epochs" in str(e)
+
+
+def test_method_sweep_scan_strategy_matches_vmap():
+    """chain_strategy='scan' advances the K configs sequentially inside one
+    lax.scan (each under ITS OWN hyp dict — the vmap_hyp branch of the scan
+    body) and reproduces the vmapped sweep's parameters exactly."""
+    from ursabench_tpu.inference.vectorized import MethodSweep
+
+    splits, C, module = _setup()
+    hyps = [
+        {"lr": lr, "prior_std": 1.0, "alpha": 0.1, "num_samples": 2,
+         "burn_in_epochs": 1}
+        for lr in (0.01, 0.1)
+    ]
+
+    def run(strategy):
+        sweep = MethodSweep(hyps, model=module, train=splits["train"],
+                            key=jax.random.PRNGKey(4), method="SGHMC",
+                            chain_strategy=strategy)
+        for _ in range(2):
+            sweep._run_epoch(noise_on=True)
+        return sweep._state
+
+    st_v = run("vmap")
+    st_s = run("scan")
+    for a, b in zip(jax.tree.leaves(st_v.params), jax.tree.leaves(st_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
