@@ -525,3 +525,91 @@ def test_streamed_sharded_epoch_matches_in_hbm_sharded():
                     jax.tree.leaves(in_hbm.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_streamed_sharded_bn_step_matches_local_bn_oracle():
+    """BatchNorm models on the streamed+sharded step use sync-free LOCAL BN:
+    each shard normalizes by its own batch statistics (gradients are
+    partition-dependent), the psum'd gradient is the mean of per-shard
+    local-BN gradients, and the carried stats are the pmean of per-shard
+    stats — the same semantics as the in-HBM sharded epoch. With
+    shuffle=False the partition is the 8 contiguous slices, so the whole
+    step is hand-computable: per-shard grad(local CE sum) averaged, one
+    sghmc update, per-shard stats averaged."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from ursabench_tpu.data.native import HostStreamingSplit
+    from ursabench_tpu.data.transforms import ImageSpec, normalize
+    from ursabench_tpu.inference.engine import init_variables, make_epoch_fn
+    from ursabench_tpu.inference.sgmcmc import _cosine_hyp_lr, _sghmc_hyp_update
+
+    class TinyBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(4, (3, 3))(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x).mean(axis=(1, 2))
+            return nn.Dense(10)(x)
+
+    rng = np.random.default_rng(2)
+    n, shards = 64, 8
+    images = rng.integers(0, 256, (n, 8, 8, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, n).astype(np.int64)
+    spec = ImageSpec(8, 1, (0.5,), (0.5,))
+    module = TinyBN()
+    mesh = make_mesh(8, chain_devices=1)
+    hyp = {
+        "lr0": jnp.float32(0.05), "eta_min": jnp.float32(0.0),
+        "t_max": jnp.float32(10.0), "momentum": jnp.float32(0.9),
+        "wd_over_n": jnp.float32(1.0 / n), "n_train": jnp.float32(n),
+    }
+
+    split = HostStreamingSplit(images, labels, batch_size=n, spec=spec,
+                               shuffle=False)
+    fn = make_epoch_fn(module, split, lr_fn=_cosine_hyp_lr,
+                       update_fn=_sghmc_hyp_update, use_augment=False,
+                       mesh=mesh)
+    state0 = _fresh_state(module, jax.random.PRNGKey(3), spec.shape)
+    sharded, _ = fn(state0, jnp.float32(0.0), jnp.float32(0.0), hyp)
+
+    # hand-built oracle over the known contiguous shard partition
+    variables = init_variables(module, jax.random.PRNGKey(3), spec.shape)
+    params0, bstats0 = variables["params"], variables["batch_stats"]
+    x_full = normalize(jnp.asarray(images), spec)
+    y_full = jnp.asarray(labels)
+
+    def local_loss(p, x, y):
+        logits, mut = module.apply(
+            {"params": p, "batch_stats": bstats0}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        return ce.sum(), mut["batch_stats"]
+
+    grads, stats = [], []
+    for i in range(shards):
+        (_, st), g = jax.value_and_grad(local_loss, has_aux=True)(
+            params0, x_full[i * 8:(i + 1) * 8], y_full[i * 8:(i + 1) * 8])
+        grads.append(g)
+        stats.append(st)
+    g_mean = jax.tree.map(lambda *xs: jnp.stack(xs).sum(0) / n, *grads)
+    stats_mean = jax.tree.map(lambda *xs: jnp.stack(xs).mean(0), *stats)
+    lr = _cosine_hyp_lr(hyp, jnp.float32(0.0), jnp.float32(0.0),
+                        jnp.int32(0))
+    params_oracle, _ = _sghmc_hyp_update(
+        params0, jax.tree.map(jnp.zeros_like, params0), g_mean, hyp,
+        lr=lr, noise_on=jnp.float32(0.0), is_first_step=True,
+        key=jax.random.PRNGKey(0),
+    )
+
+    for a, b in zip(jax.tree.leaves(sharded.params),
+                    jax.tree.leaves(params_oracle)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(sharded.batch_stats),
+                    jax.tree.leaves(stats_mean)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    assert jax.tree.leaves(sharded.batch_stats)  # BN stats actually exist
