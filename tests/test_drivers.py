@@ -491,3 +491,22 @@ def test_cli_dispatch(tmp_path, monkeypatch, capsys):
         "--synthetic_n_train", "96", "--synthetic_n_test", "64",
     ]) == 0
     assert (tmp_path / "results.csv").exists()
+
+
+def test_experiment_stream_flag(tmp_path):
+    """--stream trains from the host-streaming pipeline; with the default
+    --mesh auto on multi-device this engages the streamed+sharded step
+    (HostStreamingSplit batches device_put pre-sharded over 'data')."""
+    from ursabench_tpu.experiment import main
+
+    perf = main([
+        "--dataset", "MNIST", "--model", "MLP200MNIST",
+        "--inference_method", "SGLD", "--task", "Prediction", "--use_val",
+        "--batch_size", "32", "--seed", "0", "--stream",
+        "--save_path", str(tmp_path / "st"),
+        "--hyperparams",
+        json.dumps({"lr": 0.03, "prior_std": 1.0, "num_samples": 1,
+                    "burn_in_epochs": 0}),
+        "--synthetic_n_train", "96", "--synthetic_n_test", "32",
+    ])
+    assert "error_rate" in perf and np.isfinite(perf["error_rate"])

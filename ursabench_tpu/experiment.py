@@ -66,6 +66,12 @@ def build_parser():
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--synthetic_n_train", type=int, default=None)
     p.add_argument("--synthetic_n_test", type=int, default=None)
+    p.add_argument("--stream", action="store_true",
+                   help="train from the host-streaming pipeline "
+                        "(HostStreamingSplit: C++ prefetch + double-buffered "
+                        "device_put) instead of a device-resident dataset — "
+                        "the beyond-HBM configuration; composes with a "
+                        "('chain'=1,'data'=N) mesh")
     return p
 
 
@@ -160,6 +166,14 @@ def main(argv=None):
         synthetic_n_test=args.synthetic_n_test,
     )
     train_split, test_split = loaders["train"], loaders["test"]
+    if args.stream:
+        from .data.native import HostStreamingSplit
+
+        train_split = HostStreamingSplit(
+            train_split.images, train_split.labels,
+            batch_size=train_split.batch_size, spec=train_split.spec,
+            seed=args.seed,
+        )
     num_classes = int(num_classes)
     build_kw = {}
     if args.dtype == "bf16":
