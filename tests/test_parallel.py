@@ -613,3 +613,45 @@ def test_streamed_sharded_bn_step_matches_local_bn_oracle():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
     assert jax.tree.leaves(sharded.batch_stats)  # BN stats actually exist
+
+
+def test_sharded_chain_scan_matches_vmap():
+    """On the ('chain','data') mesh with chains_per_device > 1, scanning the
+    local chain block equals vmapping it (the grouped-convolution avoidance
+    mirrors the single-chip chain_strategy), and conv models resolve 'auto'
+    to scan."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    class TinyConv(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(4, (3, 3))(x)
+            x = nn.relu(x).mean(axis=(1, 2))
+            return nn.Dense(10)(x)
+
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=64, synthetic_n_test=32,
+    )
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("chain", "data"))
+    hyp = {"lr": 0.03, "prior_std": 1.0, "num_samples": 1, "alpha": 0.1,
+           "burn_in_epochs": 0}
+
+    def run(strategy):
+        s = inference.SGHMC(hyp, model=TinyConv(), train=splits["train"],
+                            key=jax.random.PRNGKey(6), chains=4, mesh=mesh,
+                            chain_strategy=strategy)
+        s._run_epoch(noise_on=True)
+        return s
+
+    st_s = run("scan")
+    assert st_s._epoch_fn._chain_strategy == "scan"  # auto would pick scan too
+    st_auto = run("auto")
+    assert st_auto._epoch_fn._chain_strategy == "scan"
+    st_v = run("vmap")
+    for a, b in zip(jax.tree.leaves(st_s._state.params),
+                    jax.tree.leaves(st_v._state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

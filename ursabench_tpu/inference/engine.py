@@ -145,6 +145,7 @@ def make_epoch_fn(
         return _make_sharded_epoch_fn(
             module, split, lr_fn=lr_fn, update_fn=update_fn,
             use_augment=use_augment, chains=chains, mesh=mesh,
+            chain_strategy=chain_strategy,
         )
     assert not (vmap_hyp and chains == 1), "vmap_hyp requires chains/K > 1"
     images, labels = split.device_arrays()
@@ -254,6 +255,7 @@ def _make_sharded_epoch_fn(
     use_augment: bool,
     chains: int,
     mesh,
+    chain_strategy: str = "auto",
 ):
     """('chain', 'data')-sharded variant of the epoch program (multi-chip
     SGHMC as a first-class sampler mode, not a demo step).
@@ -283,6 +285,12 @@ def _make_sharded_epoch_fn(
     assert chains % chain_shards == 0, (chains, chain_shards)
     assert bsz % data_shards == 0, (bsz, data_shards)
     local_bsz = bsz // data_shards
+    # chains_per_device > 1 blocks hit the same grouped-convolution
+    # pathology as the single-chip vmap (make_epoch_fn docstring): scan
+    # the local chain block for conv models
+    if chain_strategy == "auto":
+        chain_strategy = ("scan" if _has_conv_params(module, spec.shape)
+                          else "vmap")
 
     def loss_fn(params, batch_stats, x, y, dropout_key):
         variables = {"params": params}
@@ -355,7 +363,14 @@ def _make_sharded_epoch_fn(
 
         if chains == 1:  # pure data parallelism: unstacked, replicated state
             return one_chain(state)
-        return jax.vmap(one_chain)(state)
+        if chain_strategy == "vmap":
+            return jax.vmap(one_chain)(state)
+
+        def chain_body(_, st):
+            return None, one_chain(st)
+
+        _, (new_state, losses) = jax.lax.scan(chain_body, None, state)
+        return new_state, losses
 
     state_spec = P("chain") if chains > 1 else P()
     sharded = jax.shard_map(
@@ -373,6 +388,7 @@ def _make_sharded_epoch_fn(
         return jitted(state, images, labels, epoch, noise_on, hyp)
 
     epoch_fn._cache_size = jitted._cache_size  # no-recompile tests probe this
+    epoch_fn._chain_strategy = chain_strategy if chains > 1 else None
     return epoch_fn
 
 
