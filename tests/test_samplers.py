@@ -285,3 +285,24 @@ def test_update_hyp_reuses_compiled_epoch(tiny):
                    "burn_in_epochs": 1})
     p_b = np.asarray(jax.tree.leaves(s2.sample().params)[0])
     assert not np.allclose(p_a, p_b)
+
+
+def test_pca_subspace_chain_scan_matches_vmap(tiny):
+    """ESS chains advanced by lax.scan (each bracket loop runs to its own
+    trip count) draw the same coordinates as the vmapped lock-step chains —
+    the transitions are deterministic given the per-chain keys."""
+    splits, C, module = tiny
+    hyp = {"swag_lr": 0.01, "swag_wd": 1e-4, "lr_init": 0.05, "num_samples": 2,
+           "swag_momentum": 0.9, "swag_burn_in_epochs": 1, "num_swag_iterates": 4,
+           "rank": 2, "max_rank": 4, "temperature": 100.0, "prior_std": 1.0}
+
+    def run(strategy):
+        s = inference.PCASubspaceSampler(
+            hyp, model=module, train=splits["train"],
+            key=jax.random.PRNGKey(6), chains=3, chain_strategy=strategy,
+        )
+        s.sample()
+        assert s._resolved_chain_strategy == strategy
+        return np.asarray(s.current_theta)
+
+    np.testing.assert_allclose(run("scan"), run("vmap"), rtol=1e-5, atol=1e-6)

@@ -36,9 +36,9 @@ class PCASubspaceSampler(_Inference):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
-                 mesh=None):
+                 mesh=None, chain_strategy="auto"):
         super().__init__(hyperparameters, model, train, model_loss, key,
-                         chains, mesh)
+                         chains, mesh, chain_strategy)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters)
@@ -158,8 +158,20 @@ class PCASubspaceSampler(_Inference):
         # jit the WHOLE ESS transition (bracket while_loop + every full-data
         # log-density evaluation) once — calling elliptical_slice with a
         # merely-jitted lnpdf re-traces the loop on every draw. Chains are a
-        # leading vmap axis with per-chain keys (the while_loop batches:
-        # all chains advance until every bracket closes).
+        # leading axis; chain_strategy picks how they advance on one device:
+        # 'vmap' batches them (the while_loop runs lock-step: all chains
+        # evaluate until EVERY bracket closes, and conv log-densities lower
+        # to grouped convolutions), 'scan' runs each chain's bracket loop to
+        # ITS OWN trip count with unbatched convs, and 'auto' = scan iff
+        # conv kernels (the chain-axis rule of engine.make_epoch_fn).
+        strategy = self.chain_strategy
+        if strategy == "auto":
+            from .engine import _has_conv_params
+
+            strategy = ("scan" if _has_conv_params(module, spec.shape)
+                        else "vmap")
+        self._resolved_chain_strategy = strategy if C > 1 else None
+
         def transition_impl(key, theta, prior, cur, images, labels, mean,
                             cov_factor, bstats):
             f = lambda th: lnpdf(th, images, labels, mean, cov_factor, bstats)
@@ -169,10 +181,19 @@ class PCASubspaceSampler(_Inference):
 
         def transition_body(keys, theta, prior, cur, images, labels, mean,
                             cov_factor, bstats):
-            return jax.vmap(transition_impl, in_axes=(0, 0, 0, 0) + data_axes)(
-                keys, theta, prior, cur, images, labels, mean, cov_factor,
-                bstats,
-            )
+            if strategy == "vmap" or keys.shape[0] == 1:
+                return jax.vmap(
+                    transition_impl, in_axes=(0, 0, 0, 0) + data_axes
+                )(keys, theta, prior, cur, images, labels, mean, cov_factor,
+                  bstats)
+
+            def body(_, xs):
+                k, th, pr, cu = xs
+                return None, transition_impl(k, th, pr, cu, images, labels,
+                                             mean, cov_factor, bstats)
+
+            _, out = jax.lax.scan(body, None, (keys, theta, prior, cur))
+            return out
 
         def lnpdf_body(theta, images, labels, mean, cov_factor, bstats):
             return jax.vmap(lnpdf, in_axes=(0,) + data_axes)(
