@@ -89,9 +89,9 @@ class SGD(_Inference):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
-                 mesh=None):
+                 mesh=None, chain_strategy="auto"):
         super().__init__(hyperparameters, model, train, model_loss, key, chains,
-                         mesh)
+                         mesh, chain_strategy)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters, eta_min_fraction=0.01)
@@ -117,7 +117,7 @@ class SGD(_Inference):
             self._epoch_fn = make_epoch_fn(
                 self.module, self.train, lr_fn=_cosine_hyp_lr,
                 update_fn=_sgd_hyp_update, chains=self.chains,
-                mesh=self.mesh,
+                mesh=self.mesh, chain_strategy=self.chain_strategy,
             )
         from .sgmcmc import SGHMC
 
@@ -159,13 +159,14 @@ class DeepEnsemble(SGD):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=None,
-                 mesh=None):
+                 mesh=None, chain_strategy="auto"):
         hyperparameters = dict(hyperparameters or
                                {**SGD._DEFAULT_HYP, "num_members": 5})
         members = int(hyperparameters.get("num_members", 5))
         super().__init__(hyperparameters, model=model, train=train,
                          model_loss=model_loss, key=key,
-                         chains=chains or members, mesh=mesh)
+                         chains=chains or members, mesh=mesh,
+                         chain_strategy=chain_strategy)
 
     def sample(self, num_samples=None, val_loader=None, debug_val_loss=False) -> Ensemble:
         del num_samples  # one draw per member; members = chains
@@ -180,7 +181,8 @@ class MCdropout(_Inference):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
-                 mesh=None, model_name: str | None = None):
+                 mesh=None, model_name: str | None = None,
+                 chain_strategy="auto"):
         """``model`` may be a base module; pass ``model_name`` to resolve the
         `_dropout` twin from the registry (vi_dropout.py:13-22), or pass the
         dropout module directly."""
@@ -191,7 +193,7 @@ class MCdropout(_Inference):
             num_classes = getattr(model, "num_classes", None) or 10
             model = cfg.build(num_classes)
         super().__init__(hyperparameters, model, train, model_loss, key, chains,
-                         mesh)
+                         mesh, chain_strategy)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters)
@@ -233,7 +235,7 @@ class MCdropout(_Inference):
             self._epoch_fn = make_epoch_fn(
                 self.module, self.train, lr_fn=_one_cycle_hyp_lr,
                 update_fn=_sgd_hyp_update, chains=self.chains,
-                mesh=self.mesh,
+                mesh=self.mesh, chain_strategy=self.chain_strategy,
             )
         from .sgmcmc import SGHMC
 
