@@ -306,3 +306,23 @@ def test_pca_subspace_chain_scan_matches_vmap(tiny):
         return np.asarray(s.current_theta)
 
     np.testing.assert_allclose(run("scan"), run("vmap"), rtol=1e-5, atol=1e-6)
+
+
+def test_hmc_chain_scan_matches_vmap(tiny):
+    """HMC chains advanced by lax.scan draw identical trajectories to the
+    vmapped chains (deterministic given per-chain keys)."""
+    splits, C, module = tiny
+    hyp = {"step_size": 5e-4, "num_samples": 4, "L": 3, "tau": 1.0,
+           "burn": 0, "mass": 1.0, "draw_chunk": 4}
+
+    def run(strategy):
+        s = inference.HMC(hyp, model=module, train=splits["train"],
+                          key=jax.random.PRNGKey(8), chains=2,
+                          chain_strategy=strategy)
+        ens = s.sample()
+        assert s._resolved_chain_strategy == strategy
+        return np.stack([np.concatenate([
+            np.ravel(l) for l in jax.tree.leaves(ens.member(i)["params"])])
+            for i in range(ens.num_members)])
+
+    np.testing.assert_allclose(run("scan"), run("vmap"), rtol=1e-5, atol=1e-6)

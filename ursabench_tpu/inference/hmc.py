@@ -61,9 +61,9 @@ class HMC(_Inference):
 
     def __init__(self, hyperparameters, model=None, train=None,
                  model_loss="multi_class_linear_output", key=None, chains=1,
-                 mesh=None):
+                 mesh=None, chain_strategy="auto"):
         super().__init__(hyperparameters, model, train, model_loss, key,
-                         chains, mesh)
+                         chains, mesh, chain_strategy)
         if hyperparameters is None:
             hyperparameters = dict(self._DEFAULT_HYP)
         self._setup(hyperparameters)
@@ -242,16 +242,40 @@ class HMC(_Inference):
             ll_cur = jnp.where(accept, ll_new, ll_cur)
             return theta, ll_cur, accept
 
+        # chains advance per draw by chain_strategy: 'vmap' batches the
+        # leapfrog across chains (conv models lower to grouped
+        # convolutions — the pathology engine.make_epoch_fn's chain-axis
+        # rule avoids), 'scan' runs each chain's trajectory with unbatched
+        # convs, 'auto' = scan iff conv kernels.
+        strategy = self.chain_strategy
+        if strategy == "auto":
+            from .engine import _has_conv_params
+
+            strategy = ("scan" if _has_conv_params(module, spec.shape)
+                        else "vmap")
+        self._resolved_chain_strategy = strategy if self.chains > 1 else None
+
+        def chains_draw(th, uu, ks, images, labels):
+            if strategy == "vmap" or th.shape[0] == 1:
+                return jax.vmap(draw, in_axes=(0, 0, 0, None, None))(
+                    th, uu, ks, images, labels
+                )
+
+            def body(_, xs):
+                t, u_, k = xs
+                return None, draw(t, u_, k, images, labels)
+
+            _, out = jax.lax.scan(body, None, (th, uu, ks))
+            return out
+
         def chunk_body(theta, u, keys, images, labels):
-            """A lax.scan over draw transitions, all chains vmapped:
-            theta (C, P), u = per-chain CE sums (C,), keys (k, C, 2) ->
-            trajectory (k, C, P)."""
+            """A lax.scan over draw transitions, all chains advanced per
+            chain_strategy: theta (C, P), u = per-chain CE sums (C,),
+            keys (k, C, 2) -> trajectory (k, C, P)."""
 
             def body(carry, ks):
                 th, uu = carry
-                th, uu, acc = jax.vmap(
-                    draw, in_axes=(0, 0, 0, None, None)
-                )(th, uu, ks, images, labels)
+                th, uu, acc = chains_draw(th, uu, ks, images, labels)
                 return (th, uu), (th, uu, acc)
 
             _, (thetas, us, accepts) = jax.lax.scan(body, (theta, u), keys)
