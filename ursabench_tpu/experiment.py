@@ -49,6 +49,12 @@ def build_parser():
     p.add_argument("--device_num", type=int, default=0)  # parity; XLA places
     p.add_argument("--pretrained_model_path", type=str, default=None)
     p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--chain_strategy", choices=["auto", "scan", "vmap"],
+                   default="auto",
+                   help="how chains>1 execute on one chip: vmap batches "
+                        "chain-stacked weights (grouped convolutions for "
+                        "conv models), scan advances chains sequentially in "
+                        "one program; auto = scan iff the model has convs")
     p.add_argument("--dtype", type=str, default="fp32",
                    choices=("fp32", "bf16"),
                    help="model compute dtype (params/metrics stay f32; the "
@@ -120,8 +126,11 @@ def _make_sampler(args, hyp, module, train_split, seed):
     method = inference.get_inference(args.inference_method)
     kwargs = {}
     mesh = _build_mesh(args)
-    if mesh is not None and "mesh" in inspect.signature(method.__init__).parameters:
+    sig = inspect.signature(method.__init__).parameters
+    if mesh is not None and "mesh" in sig:
         kwargs["mesh"] = mesh
+    if "chain_strategy" in sig:
+        kwargs["chain_strategy"] = args.chain_strategy
     sampler = method(
         hyperparameters=hyp, model=module, train=train_split,
         key=jax.random.PRNGKey(seed), chains=args.chains, **kwargs,
