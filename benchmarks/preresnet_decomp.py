@@ -164,21 +164,30 @@ def main():
             sampler._run_epoch(True)
             sync()
 
-    # -- 8 chains vmapped --------------------------------------------------
-    s8 = inference.SGHMC(
-        {"lr": 0.01, "prior_std": 1.0, "num_samples": 3, "alpha": 0.1,
-         "burn_in_epochs": 1},
-        model=module, train=train, key=jax.random.PRNGKey(0), chains=8,
-    )
-    sync8 = lambda: np.asarray(jnp.sum(jax.tree.leaves(s8._state.params)[0]))
-    s8._run_epoch(True); sync8()
-    s8._run_epoch(True); sync8()
-    best8 = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        s8._run_epoch(True)
-        sync8()
-        best8 = min(best8, (time.perf_counter() - t0) / train.num_batches)
+    # -- 8 chains, both strategies: the vmap row documents the grouped-
+    # convolution pathology, the scan row (the production 'auto' pick for
+    # conv models) must aggregate >= ~single-chain throughput
+    def time_chains8(strategy):
+        s8 = inference.SGHMC(
+            {"lr": 0.01, "prior_std": 1.0, "num_samples": 3, "alpha": 0.1,
+             "burn_in_epochs": 1},
+            model=module, train=train, key=jax.random.PRNGKey(0), chains=8,
+            chain_strategy=strategy,
+        )
+        sync8 = lambda: np.asarray(
+            jnp.sum(jax.tree.leaves(s8._state.params)[0]))
+        s8._run_epoch(True); sync8()
+        s8._run_epoch(True); sync8()
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            s8._run_epoch(True)
+            sync8()
+            best = min(best, (time.perf_counter() - t0) / train.num_batches)
+        return best
+
+    best8 = time_chains8("vmap")
+    best8_scan = time_chains8("scan")
 
     def row(t, flops=flops_step):
         out = {"ms": round(t * 1e3, 4), "steps_per_sec": round(1 / t, 1)}
@@ -195,11 +204,18 @@ def main():
         "fwd_bwd_update": row(t_upd),
         "epoch_step": row(best_ep),
         "harness_overhead_pct": round((best_ep / t_upd - 1) * 100, 1),
-        "chains8_per_chain": row(best8, None),
-        "chains8_aggregate": {
+        "chains8_vmap_per_chain": row(best8, None),
+        "chains8_vmap_aggregate": {
             "steps_per_sec": round(8 / best8, 1),
             "mfu_pct_of_bf16_peak": (
                 round(8 * flops_step / best8 / peak * 100, 1)
+                if flops_step and peak else None),
+        },
+        "chains8_scan_per_chain": row(best8_scan, None),
+        "chains8_scan_aggregate": {
+            "steps_per_sec": round(8 / best8_scan, 1),
+            "mfu_pct_of_bf16_peak": (
+                round(8 * flops_step / best8_scan / peak * 100, 1)
                 if flops_step and peak else None),
         },
     }
