@@ -12,6 +12,11 @@ programs on the production shapes (PreResNet-20/CIFAR-10 bs128):
                    (nb, bsz, H, W, C) and fed to the scan as xs (per-step
                    slicing is free; gather bytes identical in total)
 
+  no_permutation : storage-order slices, no gather at all (bounds the
+                   permutation-gather's cost)
+  no_augment     : gather + normalize but no crop/flip einsums (bounds the
+                   augmentation's cost)
+
 If pre_permuted wins by more than noise, make_epoch_fn should adopt it.
 Timing: device->host fetch sync; whole-epoch windows so the ~28 ms tunnel
 RPC is <2% (CLAUDE.md amortization landmine).
@@ -69,10 +74,11 @@ def main():
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def step(carry, bi, x_u8, y, key):
+    def step(carry, bi, x_u8, y, key, augment=True):
         p, m, b = carry
         x = normalize(x_u8, spec)
-        x = augment_normalized(jax.random.fold_in(key, bi), x, spec)
+        if augment:
+            x = augment_normalized(jax.random.fold_in(key, bi), x, spec)
         (_, nb_), g = grad_fn(p, b, x, y, jax.random.fold_in(key, bi + 7))
         p, m = sghmc_update(
             p, m, g, lr=jnp.float32(0.01), momentum=jnp.float32(0.9),
@@ -106,11 +112,40 @@ def main():
         (p, m, b), _ = jax.lax.scan(body, state, (jnp.arange(nb), xs, ys))
         return p, m, b
 
+    def epoch_no_permutation(state, images, labels, key):
+        """No gather at all: scan slices the dataset in storage order.
+        Isolates the permutation-gather's cost from take_per_batch."""
+        xs = images[: nb * bsz].reshape((nb, bsz) + spec.shape)
+        ys = labels[: nb * bsz].reshape(nb, bsz)
+
+        def body(carry, inp):
+            bi, x, y = inp
+            return step(carry, bi, x, y, key), 0.0
+
+        (p, m, b), _ = jax.lax.scan(body, state, (jnp.arange(nb), xs, ys))
+        return p, m, b
+
+    def epoch_no_augment(state, images, labels, key):
+        """Permutation gather + normalize but NO crop/flip one-hot einsums.
+        Isolates the augmentation's cost from take_per_batch."""
+        perm = jax.random.permutation(key, n)[: nb * bsz].reshape(nb, bsz)
+
+        def body(carry, inp):
+            bi, idx = inp
+            x = jnp.take(images, idx, axis=0)
+            y = jnp.take(labels, idx, axis=0)
+            return step(carry, bi, x, y, key, augment=False), 0.0
+
+        (p, m, b), _ = jax.lax.scan(body, state, (jnp.arange(nb), perm))
+        return p, m, b
+
     out = {"device": str(jax.devices()[0]),
            "model": "PreResNet20/CIFAR10 bs128 fp32",
            "epochs_per_window": EPOCHS_PER_WINDOW}
     for name, fn in (("take_per_batch", epoch_take),
-                     ("pre_permuted", epoch_prepermuted)):
+                     ("pre_permuted", epoch_prepermuted),
+                     ("no_permutation", epoch_no_permutation),
+                     ("no_augment", epoch_no_augment)):
         jitted = jax.jit(fn)
         state = (params0, mom0, bstats0)
         key = jax.random.PRNGKey(1)
