@@ -382,31 +382,60 @@ def test_end_to_end_metrics_non_degenerate():
 
 def test_synthetic_ood_pairs_share_base_geometry():
     """Same-shape datasets share the base image with a calibrated
-    'base_shift' offset: the distance from an OOD dataset's templates to
-    the nearest in-distribution template is comparable to (not orders of
-    magnitude beyond) in-distribution inter-class distances — the
-    discriminative OOD operating point (sources._SYNTH_DIFFICULTY_DEFAULT).
-    base_shift=0 collapses the bases exactly."""
+    'base_shift' offset: after removing each dataset's global mean (the
+    canon-stats affine deliberately separates dataset means, mirroring the
+    real datasets' brightness differences), the distance from an OOD
+    dataset's templates to the nearest ID template is comparable to in-
+    distribution inter-class distances — the discriminative manifold
+    geometry (sources._SYNTH_DIFFICULTY_DEFAULT). base_shift=0 collapses
+    the shared-base component exactly."""
     from ursabench_tpu.data.sources import synthetic
 
-    def templates(name, **diff):
-        x, y = synthetic(name, True, n=2048, difficulty=diff or None)
-        x = np.asarray(x).reshape(len(x), -1).astype(np.float32)
-        return np.stack([x[y == c].mean(0) for c in range(10)])
+    def ratio(shift):
+        def tm(name):
+            diff = {"base_shift": shift} if shift is not None else None
+            x, y = synthetic(name, True, n=2048, difficulty=diff)
+            x = np.asarray(x).reshape(len(x), -1).astype(np.float32)
+            t = np.stack([x[y == c].mean(0) for c in range(10)])
+            # remove the SCALAR dataset mean: the canon-mean offset is a
+            # dataset-level property (test_synthetic_canon_stats); the
+            # smooth shift/base/class fields (spatially zero-mean) survive
+            return t - x.mean()
 
-    t_id = templates("MNIST")
-    t_ood = templates("FashionMNIST")
-    # in-distribution inter-class scale
-    dd = np.linalg.norm(t_id[:, None] - t_id[None], axis=-1)
-    intra = dd[np.triu_indices(10, 1)].mean()
-    # OOD template -> nearest ID template
-    cross = np.linalg.norm(t_ood[:, None] - t_id[None], axis=-1).min(1).mean()
-    assert 0.5 * intra < cross < 3.0 * intra, (intra, cross)
+        t_id, t_ood = tm("MNIST"), tm("FashionMNIST")
+        dd = np.linalg.norm(t_id[:, None] - t_id[None], axis=-1)
+        intra = dd[np.triu_indices(10, 1)].mean()
+        cross = np.linalg.norm(t_ood[:, None] - t_id[None],
+                               axis=-1).min(1).mean()
+        return float(cross / intra)
 
-    # base_shift=0: the shared base cancels entirely — only class fields
-    # separate the datasets, so cross ~ intra even more tightly
-    t_id0 = templates("MNIST", base_shift=0.0)
-    t_ood0 = templates("FashionMNIST", base_shift=0.0)
-    cross0 = np.linalg.norm(t_ood0[:, None] - t_id0[None],
-                            axis=-1).min(1).mean()
-    assert cross0 < cross
+    # default geometry: nearest ID template at a comparable scale to the
+    # in-distribution inter-class distances (measured v6: ~2.0)
+    r_default = ratio(None)
+    assert 0.5 < r_default < 3.0, r_default
+    # base_shift is a live lever: a much larger shift pushes the OOD
+    # manifold measurably farther (in units of in-dist class separation)
+    assert ratio(5.0) > r_default * 1.03, (ratio(5.0), r_default)
+
+
+def test_synthetic_canon_stats():
+    """The synthetic fallback matches each dataset's canonical pixel
+    moments, so the PROTOCOL transforms standardize it like real data:
+    without this, MNIST-family synthetic data normalized by the real
+    constants carried a +1.2 common-mode offset that collapsed
+    momentum-SGMCMC training (measured: MLP/MNIST SGHMC lr .03 at 89.9%
+    error; trains normally with matched stats)."""
+    from ursabench_tpu.data.sources import _CANON_STATS, synthetic
+
+    for name in ("MNIST", "KMNIST", "CIFAR10", "SVHN"):
+        x, _ = synthetic(name, True, n=2048)
+        xf = np.asarray(x, np.float32) / 255.0
+        mean_t = np.asarray(_CANON_STATS[name][0])
+        std_t = np.asarray(_CANON_STATS[name][1])
+        offset = (xf.mean(axis=(0, 1, 2)) - mean_t) / std_t
+        scale = xf.std(axis=(0, 1, 2)) / std_t
+        # normalized offset ~0; scale within [0.6, 1.3] (dark datasets
+        # can't reach full std under the [0,255] clip — the mean, which is
+        # what hurts optimization, gets priority in the remap)
+        assert np.all(np.abs(offset) < 0.15), (name, offset)
+        assert np.all((0.6 < scale) & (scale < 1.3)), (name, scale)
