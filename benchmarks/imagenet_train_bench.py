@@ -1,11 +1,15 @@
-"""ImageNet-shape TRAINING evidence: IN-ResNet-50 SGHMC at 224^2/1000-way.
+"""ImageNet-shape TRAINING evidence: ResNet-50 SGHMC at 224^2/1000-way.
 
 The reference commits BO-tuned hyperparameters for ResNet50ImageNet
 (/root/reference/URSABench/hyperparams/ResNet50ImageNet/, 7 methods) and
 builds rn50 ensemble inference engines from models *trained* by the same
 system (trtprof/to_onnx.py:96-99) — so the train side needs a committed
 number at that scale, not just the eval engines (assets/latency_table.json
-INResNet50 rows). This driver measures, on the current device:
+INResNet50 rows). The model is TVResNet50 — the TRUE torchvision
+architecture the reference's trtprof path loads (to_onnx.py:37), 7x7/2
+stem + max-pool; the registry's CIFAR-adapted INResNet50 does 16x the
+flops at 224^2 and is not what "rn50" means there. This driver measures,
+on the current device:
 
   1. the chip ceiling: SGHMC epochs over an in-HBM DataSplit
      (steps/s, achieved TFLOP/s, MFU) — the 224^2 conv stack is the
@@ -39,7 +43,7 @@ ASSET = os.path.abspath(
 
 N_TRAIN = 2048
 N_TEST = 512
-BATCH = 32
+BATCH = 128  # standard large-batch RN50 training regime (fills the MXU)
 SIZE, CH, CLASSES = 224, 3, 1000
 
 
@@ -86,14 +90,14 @@ def main():
     images, labels = _synth_imagenet(N_TRAIN, seed=0)
     test_images, test_labels = _synth_imagenet(N_TEST, seed=1)
 
-    module = models.get_model("INResNet50").build(CLASSES, dtype=jnp.bfloat16)
+    module = models.get_model("TVResNet50").build(CLASSES, dtype=jnp.bfloat16)
     hyp = {"lr": 0.05, "prior_std": 1.0, "num_samples": 2, "alpha": 0.1,
            "burn_in_epochs": 0}
     cost = train_step_cost(module, spec.shape, BATCH)
     flops_step = cost["flops"]
     peak, _ = device_peaks()
     out = {"device": str(jax.devices()[0]),
-           "model": f"INResNet50 {SIZE}^2/{CLASSES}-way bs{BATCH} bf16",
+           "model": f"TVResNet50 {SIZE}^2/{CLASSES}-way bs{BATCH} bf16",
            "n_train": N_TRAIN, "flops_per_step": flops_step}
 
     def run_epochs(split, label, epochs):

@@ -25,6 +25,11 @@ CASES = [
     ("WideResNet28x10", (32, 32, 3), 10, 36489290),
     ("INResNet18", (32, 32, 3), 10, 11173962),
     ("INResNet50", (32, 32, 3), 10, 23520842),
+    # true-stem torchvision architecture (trtprof's 224^2 engine source,
+    # to_onnx.py:37): exact torchvision.models.resnet{18,50}() counts.
+    # Param counts are input-size independent; 64^2 keeps CPU init cheap.
+    ("TVResNet18", (64, 64, 3), 1000, 11689512),
+    ("TVResNet50", (64, 64, 3), 1000, 25557032),
 ]
 
 
@@ -87,6 +92,7 @@ def test_registry_contents():
         "PreResNet110", "PreResNet164",
         "WideResNet28x10", "WideResNet28x10_dropout", "WideResNet_dropout",
         "INResNet18", "INResNet34", "INResNet50", "INResNet101", "INResNet152",
+        "TVResNet18", "TVResNet50", "TVResNet50_dropout",
         "ResNet_dropout", "LeNet5MNIST",
     }
     assert expected <= names

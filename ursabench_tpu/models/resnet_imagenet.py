@@ -11,8 +11,10 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..data.transforms import CIFAR_TEST, CIFAR_TRAIN
-from ..nn.init import kaiming_normal_init, torch_linear_bias_init
+from ..data.transforms import (CIFAR_TEST, CIFAR_TRAIN, IMAGENET_TEST,
+                               IMAGENET_TRAIN)
+from ..nn.init import (fan_out_normal_init, kaiming_normal_init,
+                       torch_linear_bias_init, torch_linear_kernel_init)
 from .common import ModelCfg, register
 
 
@@ -21,10 +23,11 @@ def _bn(train: bool, dtype=None) -> nn.BatchNorm:
                         epsilon=1e-5, dtype=dtype)
 
 
-def _conv(features: int, kernel: int, stride: int = 1, dtype=None) -> nn.Conv:
+def _conv(features: int, kernel: int, stride: int = 1, dtype=None,
+          init=kaiming_normal_init) -> nn.Conv:
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
-        padding=kernel // 2, use_bias=False, kernel_init=kaiming_normal_init,
+        padding=kernel // 2, use_bias=False, kernel_init=init,
         dtype=dtype,
     )
 
@@ -33,16 +36,17 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: object = None
+    conv_init: object = kaiming_normal_init
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        d = self.dtype
+        d, ki = self.dtype, self.conv_init
         in_planes = x.shape[-1]
-        out = nn.relu(_bn(train, d)(_conv(self.planes, 3, self.stride, d)(x)))
-        out = _bn(train, d)(_conv(self.planes, 3, dtype=d)(out))
+        out = nn.relu(_bn(train, d)(_conv(self.planes, 3, self.stride, d, ki)(x)))
+        out = _bn(train, d)(_conv(self.planes, 3, dtype=d, init=ki)(out))
         shortcut = x
         if self.stride != 1 or in_planes != self.planes:
-            shortcut = _bn(train, d)(_conv(self.planes, 1, self.stride, d)(x))
+            shortcut = _bn(train, d)(_conv(self.planes, 1, self.stride, d, ki)(x))
         return nn.relu(out + shortcut)
 
 
@@ -50,19 +54,20 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dtype: object = None
+    conv_init: object = kaiming_normal_init
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        d = self.dtype
+        d, ki = self.dtype, self.conv_init
         in_planes = x.shape[-1]
         expansion = 4
-        out = nn.relu(_bn(train, d)(_conv(self.planes, 1, dtype=d)(x)))
-        out = nn.relu(_bn(train, d)(_conv(self.planes, 3, self.stride, d)(out)))
-        out = _bn(train, d)(_conv(self.planes * expansion, 1, dtype=d)(out))
+        out = nn.relu(_bn(train, d)(_conv(self.planes, 1, dtype=d, init=ki)(x)))
+        out = nn.relu(_bn(train, d)(_conv(self.planes, 3, self.stride, d, ki)(out)))
+        out = _bn(train, d)(_conv(self.planes * expansion, 1, dtype=d, init=ki)(out))
         shortcut = x
         if self.stride != 1 or in_planes != self.planes * expansion:
             shortcut = _bn(train, d)(
-                _conv(self.planes * expansion, 1, self.stride, d)(x)
+                _conv(self.planes * expansion, 1, self.stride, d, ki)(x)
             )
         return nn.relu(out + shortcut)
 
@@ -92,6 +97,44 @@ class INResNet(nn.Module):
         )(out)
 
 
+class TVResNet(nn.Module):
+    """True ImageNet-stem ResNet — the torchvision architecture the
+    reference's trtprof engine path loads for its 224^2 rn50 ensembles
+    (/root/reference/URSABench/trtprof/to_onnx.py:37 `torchvision.models.
+    resnet50()`), which the reference's own CIFAR-adapted registry family
+    (imagenet_resnet.py:77 3x3/1 stem) does NOT provide: 7x7/2 stem +
+    3x3/2 max-pool (16x fewer stage-1 pixels at 224^2), global average
+    pool, torchvision init conventions (convs kaiming-normal fan_out,
+    fc torch-Linear default)."""
+
+    layers: Sequence[int]
+    bottleneck: bool = False
+    num_classes: int = 1000
+    dropout: float = 0.0  # final-layer MC dropout (twin only)
+    dtype: object = None  # compute dtype; params stay f32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        block = Bottleneck if self.bottleneck else BasicBlock
+        expansion = 4 if self.bottleneck else 1
+        out = nn.relu(_bn(train, d)(
+            nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    kernel_init=fan_out_normal_init, dtype=d)(x)))
+        out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for planes, n, stride in zip((64, 128, 256, 512), self.layers, (1, 2, 2, 2)):
+            for i in range(n):
+                out = block(planes, stride if i == 0 else 1, d,
+                            conv_init=fan_out_normal_init)(out, train)
+        out = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=False)(out)
+        return nn.Dense(
+            self.num_classes, kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(512 * expansion),
+        )(out)
+
+
 def _cfg(name: str, layers, bottleneck: bool, dropout: float = 0.0) -> ModelCfg:
     return register(
         ModelCfg(
@@ -114,3 +157,21 @@ INResNet101 = _cfg("INResNet101", (3, 4, 23, 3), True)
 INResNet152 = _cfg("INResNet152", (3, 8, 36, 3), True)
 INResNet50_dropout = _cfg("INResNet50_dropout", (3, 4, 6, 3), True, dropout=0.2)
 ResNet_dropout = _cfg("ResNet_dropout", (3, 4, 6, 3), True, dropout=0.2)
+
+
+def _tv_cfg(name: str, layers, bottleneck: bool, dropout: float = 0.0) -> ModelCfg:
+    return register(
+        ModelCfg(
+            name=name,
+            make=lambda num_classes, **kw: TVResNet(num_classes=num_classes, **kw),
+            transform_train=IMAGENET_TRAIN,
+            transform_test=IMAGENET_TEST,
+            kwargs={"layers": layers, "bottleneck": bottleneck,
+                    **({"dropout": dropout} if dropout else {})},
+        )
+    )
+
+
+TVResNet18 = _tv_cfg("TVResNet18", (2, 2, 2, 2), False)
+TVResNet50 = _tv_cfg("TVResNet50", (3, 4, 6, 3), True)
+TVResNet50_dropout = _tv_cfg("TVResNet50_dropout", (3, 4, 6, 3), True, dropout=0.2)
