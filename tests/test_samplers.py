@@ -193,8 +193,11 @@ def test_bf16_compute_metric_parity(tiny):
     import jax.numpy as jnp
 
     splits, C, _ = tiny
+    # burn 10: compare CONVERGED posteriors (both dtypes reach 0% error on
+    # the near-separable fixture) — at burn 3 the v6 canon-stat remap leaves
+    # both mid-descent where 64-image error rates are trajectory noise
     hyp = {"lr": 0.05, "prior_std": 1.0, "num_samples": 4, "alpha": 0.1,
-           "burn_in_epochs": 3}
+           "burn_in_epochs": 10}
     metrics = {}
     for tag, kw in (("fp32", {}), ("bf16", {"dtype": jnp.bfloat16})):
         module = models.get_model("MLP200MNIST").build(C, **kw)
