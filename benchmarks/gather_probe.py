@@ -139,13 +139,48 @@ def main():
         (p, m, b), _ = jax.lax.scan(body, state, (jnp.arange(nb), perm))
         return p, m, b
 
+    def epoch_take_flat2d(state, images, labels, key):
+        """Gather on a flat (n, H*W*C) uint8 view: one contiguous row per
+        index may lower to a cheaper gather than the 4-D NHWC take."""
+        flat = images.reshape(n, -1)
+        perm = jax.random.permutation(key, n)[: nb * bsz].reshape(nb, bsz)
+
+        def body(carry, inp):
+            bi, idx = inp
+            x = jnp.take(flat, idx, axis=0).reshape((bsz,) + spec.shape)
+            y = jnp.take(labels, idx, axis=0)
+            return step(carry, bi, x, y, key), 0.0
+
+        (p, m, b), _ = jax.lax.scan(body, state, (jnp.arange(nb), perm))
+        return p, m, b
+
+    def epoch_take_int32(state, images, labels, key):
+        """Gather int32-packed rows (4 uint8 per lane): sidesteps int8 tile
+        layouts in the gather itself; unpack via bitcast after the take."""
+        packed = jax.lax.bitcast_convert_type(
+            images.reshape(n, -1, 4), jnp.int32)  # (n, HWC/4)
+        perm = jax.random.permutation(key, n)[: nb * bsz].reshape(nb, bsz)
+
+        def body(carry, inp):
+            bi, idx = inp
+            rows = jnp.take(packed, idx, axis=0)  # (bsz, HWC/4) int32
+            x = jax.lax.bitcast_convert_type(rows, jnp.uint8).reshape(
+                (bsz,) + spec.shape)
+            y = jnp.take(labels, idx, axis=0)
+            return step(carry, bi, x, y, key), 0.0
+
+        (p, m, b), _ = jax.lax.scan(body, state, (jnp.arange(nb), perm))
+        return p, m, b
+
     out = {"device": str(jax.devices()[0]),
            "model": "PreResNet20/CIFAR10 bs128 fp32",
            "epochs_per_window": EPOCHS_PER_WINDOW}
     for name, fn in (("take_per_batch", epoch_take),
                      ("pre_permuted", epoch_prepermuted),
                      ("no_permutation", epoch_no_permutation),
-                     ("no_augment", epoch_no_augment)):
+                     ("no_augment", epoch_no_augment),
+                     ("take_flat2d", epoch_take_flat2d),
+                     ("take_int32", epoch_take_int32)):
         jitted = jax.jit(fn)
         state = (params0, mom0, bstats0)
         key = jax.random.PRNGKey(1)

@@ -38,6 +38,19 @@ def main():
                   member_strategy="auto")
         print(f"bs{batch_size} done at {time.perf_counter() - t00:.0f}s",
               flush=True)
+    # TVResNet50: the TRUE torchvision rn50 the reference's trtprof loads
+    # (to_onnx.py:37) — 16x fewer conv flops than the CIFAR-adapted
+    # INResNet50 at 224^2, so the amortization K is 10x larger to keep the
+    # ~28 ms fetch RPC <3% of the loop window (CLAUDE.md landmine)
+    for batch_size, loop_k in ((1, 5000), (32, 200)):
+        configs = [
+            ProfileConfig("TVResNet50", "ImageNet", prec, 2, batch_size)
+            for prec in ("fp32", "bf16", "int8")
+        ]
+        run_sweep(configs, ASSET, amortize_k=loop_k, per_call=True,
+                  member_strategy="auto")
+        print(f"tv bs{batch_size} done at {time.perf_counter() - t00:.0f}s",
+              flush=True)
     with open(ASSET) as f:
         cache = json.load(f)
     with open(TEX, "w") as f:

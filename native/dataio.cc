@@ -30,7 +30,8 @@ namespace {
 // ---------------------------------------------------------------------------
 
 struct Slot {
-  std::vector<float> x;
+  std::vector<float> x;     // normalized mode
+  std::vector<uint8_t> x8;  // raw uint8 mode (normalize-on-device)
   std::vector<int32_t> y;
   int64_t batch_index = -1;  // which batch this slot holds, -1 = empty
 };
@@ -39,6 +40,8 @@ struct UrsaStream {
   const uint8_t* images;
   const int64_t* labels;
   int64_t n, item_pixels, channels, batch, num_batches;
+  bool u8 = false;  // raw uint8 output (4x smaller transfers; the device
+                    // normalizes — same order as the in-HBM epoch path)
   float scale[16], bias[16];
   std::vector<int64_t> order;
   std::vector<Slot> ring;
@@ -54,14 +57,19 @@ void fill_slot(UrsaStream* s, Slot* slot, int64_t bi) {
   const int64_t* idx = s->order.data() + bi * s->batch;
   for (int64_t b = 0; b < s->batch; ++b) {
     const uint8_t* src = s->images + idx[b] * item_bytes;
-    float* dst = slot->x.data() + b * item_bytes;
-    if (s->channels == 1) {
-      const float sc = s->scale[0], o = s->bias[0];
-      for (int64_t i = 0; i < item_bytes; ++i) dst[i] = src[i] * sc + o;
+    if (s->u8) {
+      std::memcpy(slot->x8.data() + b * item_bytes, src,
+                  static_cast<size_t>(item_bytes));
     } else {
-      for (int64_t i = 0; i < item_bytes; i += s->channels) {
-        for (int64_t c = 0; c < s->channels; ++c) {
-          dst[i + c] = src[i + c] * s->scale[c] + s->bias[c];
+      float* dst = slot->x.data() + b * item_bytes;
+      if (s->channels == 1) {
+        const float sc = s->scale[0], o = s->bias[0];
+        for (int64_t i = 0; i < item_bytes; ++i) dst[i] = src[i] * sc + o;
+      } else {
+        for (int64_t i = 0; i < item_bytes; i += s->channels) {
+          for (int64_t c = 0; c < s->channels; ++c) {
+            dst[i + c] = src[i + c] * s->scale[c] + s->bias[c];
+          }
         }
       }
     }
@@ -186,6 +194,38 @@ void* ursa_stream_create(
   return s;
 }
 
+// uint8 variant: raw row gather with NO host normalization — the consumer
+// ships 4x fewer bytes to the device and normalizes there (bit-identical
+// to the in-HBM epoch path's on-device normalize). No channel limit (no
+// per-channel affine on the host).
+void* ursa_stream_create_u8(
+    const uint8_t* images, const int64_t* labels, int64_t n,
+    int64_t item_bytes, int64_t batch, uint64_t seed, int32_t shuffle,
+    int32_t depth) {
+  if (batch <= 0 || n < batch || depth < 1) return nullptr;
+  auto* s = new UrsaStream();
+  s->images = images;
+  s->labels = labels;
+  s->n = n;
+  s->item_pixels = item_bytes;
+  s->channels = 1;
+  s->batch = batch;
+  s->num_batches = n / batch;
+  s->u8 = true;
+  s->order.resize(n);
+  ursa_permutation(n, seed, s->order.data());
+  if (!shuffle) {
+    for (int64_t i = 0; i < n; ++i) s->order[i] = i;
+  }
+  s->ring.resize(depth);
+  for (auto& slot : s->ring) {
+    slot.x8.resize(batch * item_bytes);
+    slot.y.resize(batch);
+  }
+  s->worker = std::thread(worker_loop, s);
+  return s;
+}
+
 int64_t ursa_stream_num_batches(void* handle) {
   return static_cast<UrsaStream*>(handle)->num_batches;
 }
@@ -212,6 +252,27 @@ int64_t ursa_stream_next(void* handle, float* out_x, int32_t* out_y) {
   return bi;
 }
 
+// uint8-mode next(): same protocol, raw uint8 batch out.
+int64_t ursa_stream_next_u8(void* handle, uint8_t* out_x, int32_t* out_y) {
+  auto* s = static_cast<UrsaStream*>(handle);
+  if (s->consumed >= s->num_batches) return -1;
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->cv_produced.wait(lk, [s] { return s->produced > s->consumed; });
+  }
+  const int64_t depth = static_cast<int64_t>(s->ring.size());
+  Slot& slot = s->ring[s->consumed % depth];
+  const int64_t bi = slot.batch_index;
+  std::memcpy(out_x, slot.x8.data(), slot.x8.size());
+  std::memcpy(out_y, slot.y.data(), slot.y.size() * sizeof(int32_t));
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->consumed++;
+  }
+  s->cv_space.notify_one();
+  return bi;
+}
+
 void ursa_stream_destroy(void* handle) {
   auto* s = static_cast<UrsaStream*>(handle);
   {
@@ -223,6 +284,6 @@ void ursa_stream_destroy(void* handle) {
   delete s;
 }
 
-int32_t ursa_dataio_version() { return 2; }
+int32_t ursa_dataio_version() { return 3; }
 
 }  // extern "C"

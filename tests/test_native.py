@@ -90,7 +90,7 @@ def test_streaming_training_epoch():
         "wd_over_n": jnp.float32(1.0 / 256), "n_train": jnp.float32(256),
     }
     step = make_streaming_step_fn(module, lr_fn=_cosine_hyp_lr,
-                                  update_fn=_sghmc_hyp_update)
+                                  update_fn=_sghmc_hyp_update, spec=spec)
     first_losses = None
     for epoch in range(10):
         state, losses = run_streaming_epoch(step, state, stream, epoch, 1.0, hyp)
@@ -119,20 +119,29 @@ def test_streaming_from_disk_memmap(tmp_path):
     assert not mm.flags.writeable
 
     spec = ImageSpec(8, 1, (0.5,), (0.5,))
+    # default transfer_dtype='uint8': raw rows, device normalizes later
     split = native.HostStreamingSplit(mm, labels, batch_size=16, spec=spec,
                                       shuffle=False)
     batches = list(split.epoch())
     assert len(batches) == 2
     x0 = np.asarray(batches[0][0])
+    assert x0.dtype == np.uint8
+    np.testing.assert_array_equal(x0, images[:16])
+    np.testing.assert_array_equal(np.asarray(batches[0][1]), labels[:16])
+    # float32 mode: the C++ fused gather+normalize
+    split = native.HostStreamingSplit(mm, labels, batch_size=16, spec=spec,
+                                      shuffle=False, transfer_dtype="float32")
+    x0 = np.asarray(next(iter(split.epoch()))[0])
     ref = (images[:16].astype(np.float32) / 255.0 - 0.5) / 0.5
     np.testing.assert_allclose(x0, ref, rtol=1e-6, atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(batches[0][1]), labels[:16])
 
 
-def test_prefetch_stream_covers_epoch_and_matches_reference():
+@pytest.mark.parametrize("transfer_dtype", ["uint8", "float32"])
+def test_prefetch_stream_covers_epoch_and_matches_reference(transfer_dtype):
     """The C++ background-prefetch stream (worker thread + ring buffer)
     yields every batch of a shuffled epoch exactly once, with contents
-    equal to the reference gather+normalize of the same indices."""
+    equal to the reference gather of the same indices — raw rows in uint8
+    mode (normalize-on-device), fused gather+normalize in float32 mode."""
     assert native.native_available()
     rng = np.random.default_rng(0)
     n, h, w, c = 130, 8, 8, 3
@@ -142,14 +151,19 @@ def test_prefetch_stream_covers_epoch_and_matches_reference():
 
     spec = ImageSpec(h, c, (0.5, 0.4, 0.3), (0.2, 0.25, 0.3))
     split = native.HostStreamingSplit(images, labels, batch_size=32,
-                                      spec=spec, seed=7)
+                                      spec=spec, seed=7,
+                                      transfer_dtype=transfer_dtype)
     seen = []
     for x, y in split.epoch():
         x, y = np.asarray(x), np.asarray(y)
         assert x.shape == (32, h, w, c) and y.shape == (32,)
-        ref = (images[y].astype(np.float32) / 255.0
-               - np.asarray(spec.mean)) / np.asarray(spec.std)
-        np.testing.assert_allclose(x, ref, rtol=1e-5, atol=1e-6)
+        if transfer_dtype == "uint8":
+            assert x.dtype == np.uint8
+            np.testing.assert_array_equal(x, images[y])
+        else:
+            ref = (images[y].astype(np.float32) / 255.0
+                   - np.asarray(spec.mean)) / np.asarray(spec.std)
+            np.testing.assert_allclose(x, ref, rtol=1e-5, atol=1e-6)
         seen.extend(y.tolist())
     assert len(seen) == 4 * 32  # 130 // 32 batches
     assert len(set(seen)) == len(seen)  # no index twice (one epoch)

@@ -22,17 +22,21 @@ _lib = None
 _lib_tried = False
 
 
+_DATAIO_VERSION = 3
+
+
 def _load_lib():
     global _lib, _lib_tried
     if _lib_tried:
         return _lib
     _lib_tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                check=True, capture_output=True,
-            )
+        # `make` is a no-op when the .so is newer than dataio.cc, and
+        # rebuilds a stale (older-version) library in place
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True, capture_output=True,
+        )
         lib = ctypes.CDLL(_LIB_PATH)
         lib.ursa_permutation.argtypes = [
             ctypes.c_int64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64)
@@ -61,11 +65,22 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.ursa_stream_next.restype = ctypes.c_int64
+        lib.ursa_stream_create_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.ursa_stream_create_u8.restype = ctypes.c_void_p
+        lib.ursa_stream_next_u8.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ursa_stream_next_u8.restype = ctypes.c_int64
         lib.ursa_stream_num_batches.argtypes = [ctypes.c_void_p]
         lib.ursa_stream_num_batches.restype = ctypes.c_int64
         lib.ursa_stream_destroy.argtypes = [ctypes.c_void_p]
         lib.ursa_dataio_version.restype = ctypes.c_int32
-        assert lib.ursa_dataio_version() == 2
+        assert lib.ursa_dataio_version() == _DATAIO_VERSION
         _lib = lib
     except Exception:
         _lib = None
@@ -147,16 +162,26 @@ class HostStreamingSplit:
     the C++ gather reads straight from the mapped pages (no RAM copy of
     the dataset), so beyond-RAM datasets stream from disk through the
     same pipeline — and on remote-TPU tunnels file-backed pages dodge the
-    slow anonymous-fault path entirely (CLAUDE.md allocator landmine)."""
+    slow anonymous-fault path entirely (CLAUDE.md allocator landmine).
+
+    ``transfer_dtype='uint8'`` (default) ships RAW uint8 batches and lets
+    the training step normalize on device — 4x fewer host->device bytes
+    (the streamed path's bottleneck on any transport: PCIe, DCN, or a
+    remote tunnel) and bit-identical to the in-HBM epoch's on-device
+    ``normalize()``. ``'float32'`` keeps the fused C++ gather+normalize
+    (host does the affine; the step sees ready batches)."""
 
     def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
-                 spec, shuffle: bool = True, seed: int = 0):
+                 spec, shuffle: bool = True, seed: int = 0,
+                 transfer_dtype: str = "uint8"):
+        assert transfer_dtype in ("uint8", "float32"), transfer_dtype
         self.images = images
         self.labels = labels
         self.batch_size = batch_size
         self.spec = spec
         self.shuffle = shuffle
         self.seed = seed
+        self.transfer_dtype = transfer_dtype
         self._epoch = 0
 
     @property
@@ -182,12 +207,15 @@ class HostStreamingSplit:
         nb = self.num_batches
         if nb == 0:
             return
+        u8 = self.transfer_dtype == "uint8"
         lib = _load_lib()
-        # native contract (dataio.cc ursa_stream_create): <=16 channels,
-        # n >= batch; anything else uses the numpy gather path
-        if lib is not None and self.images.shape[3] <= 16 and self.n >= bsz:
+        # native contract (dataio.cc ursa_stream_create): <=16 channels
+        # (float32 mode only — uint8 mode has no host affine), n >= batch;
+        # anything else uses the numpy gather path
+        if lib is not None and self.n >= bsz and (
+                u8 or self.images.shape[3] <= 16):
             yield from self._native_epoch(jax, lib, mean, std, epoch_seed,
-                                          sharding)
+                                          sharding, u8)
             return
         # numpy fallback: gather on the consumer thread, rely on async
         # device dispatch for (partial) overlap
@@ -198,7 +226,11 @@ class HostStreamingSplit:
 
         def host_batch(i):
             idx = order[i * bsz: (i + 1) * bsz]
-            x, y = gather_normalize(self.images, self.labels, idx, mean, std)
+            if u8:
+                x, y = gather_u8(self.images, self.labels, idx)
+            else:
+                x, y = gather_normalize(self.images, self.labels, idx,
+                                        mean, std)
             return jax.device_put(x, sharding), jax.device_put(y, sharding)
 
         nxt = host_batch(0)
@@ -208,7 +240,8 @@ class HostStreamingSplit:
                 nxt = host_batch(i + 1)
             yield cur
 
-    def _native_epoch(self, jax, lib, mean, std, epoch_seed, sharding=None):
+    def _native_epoch(self, jax, lib, mean, std, epoch_seed, sharding=None,
+                      u8=False):
         """True background prefetch: the C++ worker thread gathers batch
         i+1..i+depth while Python dispatches batch i to the device (the
         blocking ursa_stream_next call releases the GIL)."""
@@ -220,22 +253,30 @@ class HostStreamingSplit:
         mean = np.ascontiguousarray(mean, np.float32)
         std = np.ascontiguousarray(std, np.float32)
         n, h, w, c = images.shape
-        handle = lib.ursa_stream_create(
-            _ptr(images, ctypes.c_uint8), _ptr(labels, ctypes.c_int64),
-            n, h * w, c, self.batch_size,
-            _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
-            epoch_seed & (2 ** 64 - 1), 1 if self.shuffle else 0, 2,
-        )
+        seed = epoch_seed & (2 ** 64 - 1)
+        shuf = 1 if self.shuffle else 0
+        if u8:
+            handle = lib.ursa_stream_create_u8(
+                _ptr(images, ctypes.c_uint8), _ptr(labels, ctypes.c_int64),
+                n, h * w * c, self.batch_size, seed, shuf, 2,
+            )
+        else:
+            handle = lib.ursa_stream_create(
+                _ptr(images, ctypes.c_uint8), _ptr(labels, ctypes.c_int64),
+                n, h * w, c, self.batch_size,
+                _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
+                seed, shuf, 2,
+            )
         if not handle:  # contract pre-checked in epoch(); this is a real bug
             raise RuntimeError("ursa_stream_create failed")
         try:
-            out_x = np.empty((self.batch_size, h, w, c), np.float32)
+            out_x = np.empty((self.batch_size, h, w, c),
+                             np.uint8 if u8 else np.float32)
             out_y = np.empty(self.batch_size, np.int32)
+            nxt = (lib.ursa_stream_next_u8 if u8 else lib.ursa_stream_next)
+            xptr = _ptr(out_x, ctypes.c_uint8 if u8 else ctypes.c_float)
             while True:
-                bi = lib.ursa_stream_next(
-                    handle, _ptr(out_x, ctypes.c_float),
-                    _ptr(out_y, ctypes.c_int32),
-                )
+                bi = nxt(handle, xptr, _ptr(out_y, ctypes.c_int32))
                 if bi < 0:
                     return
                 # copy before device_put: the stream reuses these buffers

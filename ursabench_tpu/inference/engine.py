@@ -120,14 +120,14 @@ def make_epoch_fn(
             )
             step = make_sharded_streaming_step_fn(
                 module, mesh, lr_fn=lr_fn, update_fn=update_fn,
-                spec=split.spec if use_augment else None,
+                spec=split.spec, augment=use_augment,
             )
             batch_sharding = step._batch_sharding
         else:
             assert mesh is None, "streaming meshes must have a 'data' axis > 1"
             step = make_streaming_step_fn(
                 module, lr_fn=lr_fn, update_fn=update_fn,
-                spec=split.spec if use_augment else None,
+                spec=split.spec, augment=use_augment,
             )
             batch_sharding = None
 
@@ -393,16 +393,20 @@ def _make_sharded_epoch_fn(
 
 
 def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
-                           spec=None):
+                           spec=None, augment=True):
     """Single-batch jitted training step for host-streamed data (datasets
     too large for HBM): the C++ pipeline (data/native.HostStreamingSplit)
-    gathers/normalizes on the host and double-buffers device transfers;
-    this step consumes one already-normalized batch at a time. Pass the
-    split's ``spec`` to apply random crop/flip on device (otherwise the
-    streamed path would silently train without augmentation). Signature:
+    gathers on the host and double-buffers device transfers; this step
+    consumes one batch at a time. A raw uint8 batch (the split's default
+    ``transfer_dtype='uint8'`` — 4x fewer transferred bytes) is normalized
+    ON DEVICE with the same ``normalize()`` as the in-HBM epoch path; a
+    float32 batch is taken as already host-normalized. Pass the split's
+    ``spec`` to normalize and (with ``augment=True``) apply random
+    crop/flip on device. Signature:
     ``step(state, x, y, epoch, batch_idx, noise_on, hyp) -> (state, loss)``.
     """
-    do_augment = spec is not None and (spec.random_crop_pad or spec.random_flip)
+    do_augment = (augment and spec is not None
+                  and (spec.random_crop_pad or spec.random_flip))
 
     def loss_fn(params, batch_stats, x, y, dropout_key):
         variables = {"params": params}
@@ -419,6 +423,9 @@ def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
     @jax.jit
     def step(state: TrainState, x, y, epoch, batch_idx, noise_on, hyp):
         key, k_noise, k_drop, k_aug = jax.random.split(state.key, 4)
+        if jnp.issubdtype(x.dtype, jnp.integer):  # uint8 transfer mode
+            assert spec is not None, "uint8 streamed batches need a spec"
+            x = normalize(x, spec)
         if do_augment:
             x = augment_normalized(k_aug, x, spec)
         (loss, new_bstats), grads = grad_fn(
@@ -438,7 +445,8 @@ def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
 
 
 def make_sharded_streaming_step_fn(module, mesh, *, lr_fn: LrFn,
-                                   update_fn: UpdateFn, spec=None):
+                                   update_fn: UpdateFn, spec=None,
+                                   augment=True):
     """Data-parallel single-batch training step for host-streamed data:
     the streamed global batch arrives sharded over the mesh 'data' axis
     (``step._batch_sharding`` — the stream device_puts straight into that
@@ -450,7 +458,8 @@ def make_sharded_streaming_step_fn(module, mesh, *, lr_fn: LrFn,
     samples get different masks)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    do_augment = spec is not None and (spec.random_crop_pad or spec.random_flip)
+    do_augment = (augment and spec is not None
+                  and (spec.random_crop_pad or spec.random_flip))
     data_shards = mesh.shape["data"]
 
     def loss_fn(params, batch_stats, x, y, dropout_key):
@@ -470,6 +479,9 @@ def make_sharded_streaming_step_fn(module, mesh, *, lr_fn: LrFn,
     def local_step(state: TrainState, x, y, epoch, batch_idx, noise_on, hyp):
         data_idx = jax.lax.axis_index("data")
         key, k_noise, k_drop, k_aug = jax.random.split(state.key, 4)
+        if jnp.issubdtype(x.dtype, jnp.integer):  # uint8 transfer mode
+            assert spec is not None, "uint8 streamed batches need a spec"
+            x = normalize(x, spec)
         if do_augment:
             x = augment_normalized(jax.random.fold_in(k_aug, data_idx), x, spec)
         (loss_sum, new_bstats), grads = grad_fn(
