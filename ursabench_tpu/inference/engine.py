@@ -10,6 +10,7 @@ leading chain axis (per-chain PRNG streams).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Callable, NamedTuple
 
 import jax
@@ -19,6 +20,35 @@ import optax
 from ..data.arrays import DataSplit
 from ..data.transforms import augment_normalized, normalize
 from ..util import Pytree
+
+# Jitted program memo shared across sampler INSTANCES: hyperopt sweeps and
+# the time_script protocol construct a fresh sampler per evaluation/trial
+# (reference time_script.py:105-108), and without this each construction
+# re-jits an identical epoch program (a full remote compile per trial on
+# the TPU service). Keys are structural (flax modules hash by field
+# values), data stays a jit ARGUMENT (CLAUDE.md compile-cache landmine),
+# and donated state buffers belong to the caller — so sharing is safe.
+_PROGRAM_CACHE: OrderedDict = OrderedDict()
+_PROGRAM_CACHE_MAX = 64
+
+
+def _cached_program(key, build):
+    """Return the memoized jitted program for ``key``, building on miss.
+    An unhashable key component (e.g. a custom module holding a list)
+    skips the cache rather than failing."""
+    try:
+        hash(key)
+    except TypeError:
+        return build()
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _PROGRAM_CACHE[key] = fn
+        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.popitem(last=False)
+    else:
+        _PROGRAM_CACHE.move_to_end(key)
+    return fn
 
 
 class TrainState(NamedTuple):
@@ -240,7 +270,10 @@ def make_epoch_fn(
                 _, (new_state, losses) = jax.lax.scan(body, None, xs)
                 return new_state, losses
 
-    jitted = jax.jit(fn, donate_argnums=(0,))
+    key = ("epoch", module, spec, n, bsz, str(images.dtype),
+           str(labels.dtype), lr_fn, update_fn, use_augment, chains,
+           vmap_hyp, strategy)
+    jitted = _cached_program(key, lambda: jax.jit(fn, donate_argnums=(0,)))
 
     def epoch_fn(state, epoch, noise_on, hyp):
         return jitted(state, images, labels, epoch, noise_on, hyp)
@@ -380,14 +413,21 @@ def _make_sharded_epoch_fn(
         return new_state, losses
 
     state_spec = P("chain") if chains > 1 else P()
-    sharded = jax.shard_map(
-        local_epoch,
-        mesh=mesh,
-        in_specs=(state_spec, P(), P(), P(), P(), P()),
-        out_specs=(state_spec, state_spec),
-        check_vma=False,
-    )
-    jitted = jax.jit(sharded, donate_argnums=(0,))
+
+    def _build():
+        sharded = jax.shard_map(
+            local_epoch,
+            mesh=mesh,
+            in_specs=(state_spec, P(), P(), P(), P(), P()),
+            out_specs=(state_spec, state_spec),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    key = ("sharded_epoch", module, spec, n, bsz, str(images.dtype),
+           str(labels.dtype), lr_fn, update_fn, use_augment, chains,
+           chain_strategy, mesh)
+    jitted = _cached_program(key, _build)
 
     # data as jit arguments (not closure constants): keeps the compiled
     # program shape-only — see make_epoch_fn
@@ -427,8 +467,7 @@ def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @jax.jit
-    def step(state: TrainState, x, y, epoch, batch_idx, noise_on, hyp):
+    def step_impl(state: TrainState, x, y, epoch, batch_idx, noise_on, hyp):
         key, k_noise, k_drop, k_aug = jax.random.split(state.key, 4)
         if jnp.issubdtype(x.dtype, jnp.integer):  # uint8 transfer mode
             assert spec is not None, "uint8 streamed batches need a spec"
@@ -448,7 +487,8 @@ def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
             new_bstats = state.batch_stats
         return TrainState(params, mom, new_bstats, key, state.step + 1), loss
 
-    return step
+    key = ("stream_step", module, lr_fn, update_fn, spec, do_augment)
+    return _cached_program(key, lambda: jax.jit(step_impl))
 
 
 def make_sharded_streaming_step_fn(module, mesh, *, lr_fn: LrFn,
@@ -515,16 +555,21 @@ def make_sharded_streaming_step_fn(module, mesh, *, lr_fn: LrFn,
         )
         return TrainState(params, mom, new_bstats, key, state.step + 1), loss
 
-    sharded = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P(), P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    step = jax.jit(sharded, donate_argnums=(0,))
-    step._batch_sharding = NamedSharding(mesh, P("data"))
-    return step
+    def _build():
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        step = jax.jit(sharded, donate_argnums=(0,))
+        step._batch_sharding = NamedSharding(mesh, P("data"))
+        return step
+
+    key = ("sharded_stream_step", module, lr_fn, update_fn, spec,
+           do_augment, mesh)
+    return _cached_program(key, _build)
 
 
 def run_streaming_epoch(step_fn, state: TrainState, stream, epoch: int,
@@ -556,7 +601,6 @@ def make_bn_refresh_fn(module, split: DataSplit):
     nb = -(-n // bsz)
     pad = nb * bsz - n
 
-    @jax.jit
     def refresh_impl(params: Pytree, batch_stats: Pytree, images) -> Pytree:
         if not batch_stats:
             return batch_stats
@@ -606,9 +650,12 @@ def make_bn_refresh_fn(module, split: DataSplit):
         (stats, _), _ = jax.lax.scan(body_exact, (zeroed, 0.0), batches)
         return stats
 
+    key = ("bn_refresh", module, spec, n, bsz, str(images.dtype))
+    jitted = _cached_program(key, lambda: jax.jit(refresh_impl))
+
     # data as a jit argument (not a closure constant) — see make_epoch_fn
     def refresh(params: Pytree, batch_stats: Pytree) -> Pytree:
-        return refresh_impl(params, batch_stats, images)
+        return jitted(params, batch_stats, images)
 
     return refresh
 
@@ -634,7 +681,6 @@ def make_eval_loss_fn(module, split: DataSplit):
     nb = -(-n // bsz)
     pad = nb * bsz - n
 
-    @jax.jit
     def val_loss_impl(params, batch_stats, images, labels):
         variables = {"params": params}
         if batch_stats:
@@ -658,8 +704,12 @@ def make_eval_loss_fn(module, split: DataSplit):
         total, _ = jax.lax.scan(body, 0.0, batches)
         return total / n
 
+    key = ("val_loss", module, spec, n, bsz, str(images.dtype),
+           str(labels.dtype))
+    jitted = _cached_program(key, lambda: jax.jit(val_loss_impl))
+
     # data as jit arguments (not closure constants) — see make_epoch_fn
     def val_loss(params, batch_stats):
-        return val_loss_impl(params, batch_stats, images, labels)
+        return jitted(params, batch_stats, images, labels)
 
     return val_loss
