@@ -329,3 +329,40 @@ def test_hmc_chain_scan_matches_vmap(tiny):
             for i in range(ens.num_members)])
 
     np.testing.assert_allclose(run("scan"), run("vmap"), rtol=1e-5, atol=1e-6)
+
+
+def test_epoch_program_cached_across_sampler_instances(tiny):
+    """Fresh samplers over the same (module, split shape, schedule) config
+    must REUSE the compiled epoch program — hyperopt sweeps and the
+    time_script protocol construct one sampler per evaluation (reference
+    time_script.py:105-108), and without the engine-level program memo
+    each construction paid a full recompile (measured ~21s/trial on the
+    TPU service vs ~1.2s of actual training)."""
+    from ursabench_tpu.inference import engine
+
+    splits, C, _ = tiny
+    hyp = {"lr": 0.05, "prior_std": 1.0, "num_samples": 1, "alpha": 0.1,
+           "burn_in_epochs": 0}
+
+    def fresh():
+        module = models.get_model("MLP200MNIST").build(C)
+        return inference.SGHMC(hyp, model=module, train=splits["train"],
+                               key=jax.random.PRNGKey(0))
+
+    a, b = fresh(), fresh()
+    a.sample()
+    n_after_a = a._epoch_fn._cache_size()
+    b.sample()
+    # b traced nothing new: same jitted program object, same trace cache
+    assert b._epoch_fn._cache_size() == n_after_a
+    # different batch size -> different program (no false sharing)
+    resized, _ = data.loaders(
+        "MNIST", None, batch_size=16, use_validation=False,
+        synthetic_n_train=128, synthetic_n_test=64,
+        difficulty={"separation": 25.0, "label_noise": 0.0},
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    c = inference.SGHMC(hyp, model=module, train=resized["train"],
+                        key=jax.random.PRNGKey(0))
+    c.sample()
+    assert c._epoch_fn._cache_size() >= 1
