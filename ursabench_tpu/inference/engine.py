@@ -204,15 +204,19 @@ def make_epoch_fn(
         if pad:
             perm = jnp.concatenate([perm, perm[:pad]])
         batch_idx = perm.reshape(nb, bsz)
+        # flat-2D gather view, hoisted OUTSIDE the scan body: one contiguous
+        # row per index lowers to a cheaper gather than the 4-D NHWC take
+        # (assets/gather_probe.json take_flat2d 0.657 vs 0.662 ms/step), but
+        # a reshape INSIDE the body re-materializes the whole dataset every
+        # step (measured 0.69 -> 1.33 ms/step)
+        item_shape = images.shape[1:]
+        flat = images.reshape(n, -1)
 
         def body(carry, inp):
             params, mom, bstats, step = carry
             bi, idx = inp
-            # flat-2D gather: one contiguous row per index lowers to a
-            # cheaper gather than the 4-D NHWC take (assets/gather_probe.json
-            # take_flat2d 0.657 vs 0.662 ms/step on the flagship epoch)
-            x = jnp.take(images.reshape(n, -1), idx, axis=0).reshape(
-                (idx.shape[0],) + images.shape[1:])
+            x = jnp.take(flat, idx, axis=0).reshape(
+                (idx.shape[0],) + item_shape)
             y = jnp.take(labels, idx, axis=0)
             # normalize BEFORE augmenting: gather/flip on uint8 hits
             # pathological int8 tile layouts on TPU (~600x slower measured);
@@ -353,6 +357,11 @@ def _make_sharded_epoch_fn(
             if pad:
                 perm = jnp.concatenate([perm, perm[:pad]])
             batch_idx = perm.reshape(nb, bsz)
+            # flat-2D gather view hoisted OUTSIDE the scan body (same
+            # lowering win + same in-body-reshape trap as the single-device
+            # epoch; assets/gather_probe.json)
+            item_shape = images.shape[1:]
+            flat = images.reshape(images.shape[0], -1)
 
             def body(carry, inp):
                 params, mom, bstats, step = carry
@@ -360,10 +369,8 @@ def _make_sharded_epoch_fn(
                 idx_local = jax.lax.dynamic_slice(
                     idx, (data_idx * local_bsz,), (local_bsz,)
                 )
-                # flat-2D gather (same lowering win as the single-device
-                # epoch body; assets/gather_probe.json)
-                x = jnp.take(images.reshape(n, -1), idx_local, axis=0
-                             ).reshape((local_bsz,) + images.shape[1:])
+                x = jnp.take(flat, idx_local, axis=0).reshape(
+                    (local_bsz,) + item_shape)
                 y = jnp.take(labels, idx_local, axis=0)
                 x = normalize(x, spec)
                 if use_augment and (spec.random_crop_pad or spec.random_flip):
