@@ -279,6 +279,31 @@ def test_augment_flip_fused_into_crop_is_bit_exact():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_augment_then_normalize_order_equivalence():
+    """The epoch programs augment the raw-valued f32 batch with a zero
+    border and normalize afterwards (so normalize fuses into the crop
+    einsum's epilogue); that must equal normalize-then-augment_normalized
+    exactly — one-hot selection is exact and normalize is affine with
+    normalize(0) == the normalized-zero border (engine.make_epoch_fn)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ursabench_tpu.data.transforms import (
+        CIFAR_TRAIN, augment, augment_normalized, normalize,
+    )
+
+    rng = np.random.default_rng(11)
+    raw = jnp.asarray(rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(5)
+    a = np.asarray(augment_normalized(key, normalize(raw, CIFAR_TRAIN),
+                                      CIFAR_TRAIN))
+    b = np.asarray(normalize(
+        augment(key, raw.astype(jnp.float32), CIFAR_TRAIN, pad_value=0.0),
+        CIFAR_TRAIN,
+    ))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_read_cifar_honors_requested_variant(tmp_path):
     """A shared data dir with BOTH CIFAR layouts must yield the requested one."""
     import pickle
