@@ -22,6 +22,18 @@ If lr_hoist or first_const wins beyond noise, engine.make_epoch_fn should
 adopt the hoist (both are semantics-preserving: SGHMC/cosine lr depends only
 on `epoch`, and the first-step momentum init can ride a scan-xs flag).
 
+OUTCOME (r4): individually each extra is noise-level (lr_hoist 0.6898,
+first_const 0.6884, no_loss_out 0.6825 vs prod_mirror 0.6877 ms/step); only
+all three together measured -13us. A production implementation of the
+semantics-preserving subset (vmapped lr as scan xs + loss-sum-in-carry +
+augment-then-normalize) did NOT reproduce the win — the shipped epoch
+measured 0.6963 -> 0.6997 ms/step and chains8-scan regressed ~2% — so it
+was REVERTED. Conclusion: per-step harness extras sit below the ~1%
+cross-process noise floor of this setup; the harness's real lower bound is
+the no_permutation variant (assets/gather_probe.json, 0.650 ms/step), i.e.
+shuffling+augment semantics cost ~23us/step over raw fwd+bwd+update and the
+rest is irreducible at current measurement precision.
+
 Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/epoch_overhead_probe.py
 """
 

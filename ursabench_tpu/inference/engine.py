@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from ..data.arrays import DataSplit
-from ..data.transforms import augment, augment_normalized, normalize
+from ..data.transforms import augment_normalized, normalize
 from ..util import Pytree
 
 # Jitted program memo shared across sampler INSTANCES: hyperopt sweeps and
@@ -211,36 +211,23 @@ def make_epoch_fn(
         # step (measured 0.69 -> 1.33 ms/step)
         item_shape = images.shape[1:]
         flat = images.reshape(n, -1)
-        # per-step lr precomputed OUTSIDE the scan body (one vmapped pass
-        # over the epoch's (batch_idx, global_step) pairs, fed as scan xs)
-        # and the mean loss accumulated in the carry instead of emitted
-        # per step: together worth ~2% of the step on the flagship config
-        # (assets/epoch_overhead_probe.json all_hoisted vs prod_mirror)
-        bis = jnp.arange(nb)
-        lrs = jax.vmap(lambda bi, st: lr_fn(hyp, epoch, bi, st))(
-            bis, state.step + bis)
 
         def body(carry, inp):
-            params, mom, bstats, step, loss_sum = carry
-            bi, idx, lr = inp
+            params, mom, bstats, step = carry
+            bi, idx = inp
             x = jnp.take(flat, idx, axis=0).reshape(
                 (idx.shape[0],) + item_shape)
             y = jnp.take(labels, idx, axis=0)
-            # augment the raw-valued f32 batch with a ZERO border, then
-            # normalize: bit-identical to normalize-then-augment (the
-            # one-hot selection is exact and normalize is affine with
-            # normalize(0) == the normalized-zero border), but normalize
-            # now sits AFTER the crop einsums where XLA fuses it into the
-            # dot epilogue instead of materializing a separate full-batch
-            # pass as an (unfusable) dot operand. Never augment on uint8:
-            # int8 tile layouts make gathers/flips ~600x slower (CLAUDE.md).
-            if use_augment and (spec.random_crop_pad or spec.random_flip):
-                x = augment(jax.random.fold_in(k_aug, bi),
-                            x.astype(jnp.float32), spec, pad_value=0.0)
+            # normalize BEFORE augmenting: gather/flip on uint8 hits
+            # pathological int8 tile layouts on TPU (~600x slower measured);
+            # augment_normalized preserves zero-pixel padding semantics
             x = normalize(x, spec)
+            if use_augment and (spec.random_crop_pad or spec.random_flip):
+                x = augment_normalized(jax.random.fold_in(k_aug, bi), x, spec)
             (loss, new_bstats), grads = grad_fn(
                 params, bstats, x, y, jax.random.fold_in(k_drop, bi)
             )
+            lr = lr_fn(hyp, epoch, bi, step)
             params, mom = update_fn(
                 params, mom, grads, hyp,
                 lr=lr, noise_on=noise_on,
@@ -249,14 +236,13 @@ def make_epoch_fn(
             )
             if not new_bstats:
                 new_bstats = bstats
-            return (params, mom, new_bstats, step + 1, loss_sum + loss), None
+            return (params, mom, new_bstats, step + 1), loss
 
-        init = (state.params, state.momentum, state.batch_stats, state.step,
-                jnp.float32(0.0))
-        (params, mom, bstats, step, loss_sum), _ = jax.lax.scan(
-            body, init, (bis, batch_idx, lrs)
+        init = (state.params, state.momentum, state.batch_stats, state.step)
+        (params, mom, bstats, step), losses = jax.lax.scan(
+            body, init, (jnp.arange(nb), batch_idx)
         )
-        return TrainState(params, mom, bstats, key, step), loss_sum / nb
+        return TrainState(params, mom, bstats, key, step), losses.mean()
 
     # data enters as jit ARGUMENTS, not closure constants: a closed-over
     # dataset is baked into the executable (612MB persistent-cache entries
@@ -376,31 +362,23 @@ def _make_sharded_epoch_fn(
             # epoch; assets/gather_probe.json)
             item_shape = images.shape[1:]
             flat = images.reshape(images.shape[0], -1)
-            # lr hoisted out of the scan body + loss accumulated in the
-            # carry, mirroring the single-device epoch (overhead probe)
-            bis = jnp.arange(nb)
-            lrs = jax.vmap(lambda bi, s: lr_fn(hyp, epoch, bi, s))(
-                bis, st.step + bis)
 
             def body(carry, inp):
-                params, mom, bstats, step, loss_acc = carry
-                bi, idx, lr = inp
+                params, mom, bstats, step = carry
+                bi, idx = inp
                 idx_local = jax.lax.dynamic_slice(
                     idx, (data_idx * local_bsz,), (local_bsz,)
                 )
                 x = jnp.take(flat, idx_local, axis=0).reshape(
                     (local_bsz,) + item_shape)
                 y = jnp.take(labels, idx_local, axis=0)
-                if use_augment and (spec.random_crop_pad or spec.random_flip):
-                    # different samples on each shard -> per-shard aug
-                    # stream; augment raw-f32 with a zero border then
-                    # normalize (bit-identical, fuses into the crop einsum
-                    # epilogue — see the single-device body)
-                    x = augment(
-                        jax.random.fold_in(jax.random.fold_in(k_aug, bi), data_idx),
-                        x.astype(jnp.float32), spec, pad_value=0.0,
-                    )
                 x = normalize(x, spec)
+                if use_augment and (spec.random_crop_pad or spec.random_flip):
+                    # different samples on each shard -> per-shard aug stream
+                    x = augment_normalized(
+                        jax.random.fold_in(jax.random.fold_in(k_aug, bi), data_idx),
+                        x, spec,
+                    )
                 (loss_sum, new_bstats), grads = grad_fn(
                     params, bstats, x, y,
                     jax.random.fold_in(jax.random.fold_in(k_drop, bi), data_idx),
@@ -415,20 +393,20 @@ def _make_sharded_epoch_fn(
                     )
                 else:
                     new_bstats = bstats
+                lr = lr_fn(hyp, epoch, bi, step)
                 params, mom = update_fn(
                     params, mom, grads, hyp,
                     lr=lr, noise_on=noise_on,
                     is_first_step=(step == 0),
                     key=jax.random.fold_in(k_noise, bi),
                 )
-                return (params, mom, new_bstats, step + 1, loss_acc + loss), None
+                return (params, mom, new_bstats, step + 1), loss
 
-            init = (st.params, st.momentum, st.batch_stats, st.step,
-                    jnp.float32(0.0))
-            (params, mom, bstats, step, loss_acc), _ = jax.lax.scan(
-                body, init, (bis, batch_idx, lrs)
+            init = (st.params, st.momentum, st.batch_stats, st.step)
+            (params, mom, bstats, step), losses = jax.lax.scan(
+                body, init, (jnp.arange(nb), batch_idx)
             )
-            return TrainState(params, mom, bstats, key, step), loss_acc / nb
+            return TrainState(params, mom, bstats, key, step), losses.mean()
 
         if chains == 1:  # pure data parallelism: unstacked, replicated state
             return one_chain(state)
