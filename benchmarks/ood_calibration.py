@@ -86,6 +86,9 @@ def main():
         try:
             with open(ASSET) as f:
                 out = json.load(f)
+            # the top-level field must describe ALL rows, including this
+            # run's — merge rather than keep the first run's list
+            out["rhos"] = sorted(set(out.get("rhos", [])) | set(args.rhos))
         except Exception:
             pass
     for rho in args.rhos:

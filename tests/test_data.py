@@ -280,11 +280,15 @@ def test_augment_flip_fused_into_crop_is_bit_exact():
 
 
 def test_augment_then_normalize_order_equivalence():
-    """The epoch programs augment the raw-valued f32 batch with a zero
-    border and normalize afterwards (so normalize fuses into the crop
-    einsum's epilogue); that must equal normalize-then-augment_normalized
-    exactly — one-hot selection is exact and normalize is affine with
-    normalize(0) == the normalized-zero border (engine.make_epoch_fn)."""
+    """Order-equivalence of the two augmentation formulations: augmenting
+    the raw-valued f32 batch with a zero border then normalizing equals
+    normalize-then-augment_normalized exactly — one-hot selection is exact
+    and normalize is affine with normalize(0) == the normalized-zero border.
+    The SHIPPED epoch programs normalize BEFORE augmenting (engine
+    .make_epoch_fn; the fused augment-then-normalize ordering was measured
+    and reverted — see the epoch-body-micro-hoists note in CLAUDE.md); this
+    test pins that both orderings are the same function, so the choice is
+    purely a lowering/perf decision."""
     import jax
     import jax.numpy as jnp
 

@@ -316,6 +316,9 @@ def test_auto_mesh_layouts():
     m = auto_mesh(2, batch_size=33)
     assert m.shape == {"chain": 2, "data": 3}
     assert auto_mesh(3, n_devices=1) is None
+    # nothing shardable at all (chains=1, batch coprime with every device
+    # divisor) -> None, not a degenerate 1x1 mesh
+    assert auto_mesh(1, batch_size=31) is None
 
 
 def test_sharded_step_matches_single_device():
@@ -655,3 +658,59 @@ def test_sharded_chain_scan_matches_vmap():
     for a, b in zip(jax.tree.leaves(st_s._state.params),
                     jax.tree.leaves(st_v._state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_chain_only_mesh_auto_resolves_to_vmap():
+    """With the chain axis device-sharded (chain-only mesh, no 'data' axis),
+    'auto' must resolve to vmap even for conv models: a global lax.scan over
+    a sharded leading axis would serialize the chains ACROSS chips, while
+    GSPMD partitions the vmapped program chain-parallel
+    (engine.resolve_chain_strategy)."""
+    import flax.linen as nn
+
+    class TinyConv(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(4, (3, 3))(x)
+            x = nn.relu(x).mean(axis=(1, 2))
+            return nn.Dense(10)(x)
+
+    from ursabench_tpu.inference.engine import resolve_chain_strategy
+
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=64, synthetic_n_test=32,
+    )
+    spec_shape = splits["train"].spec.shape
+    mesh = chain_mesh(chains=2)
+
+    # the shared rule itself
+    assert resolve_chain_strategy("auto", TinyConv(), spec_shape) == "scan"
+    assert resolve_chain_strategy("auto", TinyConv(), spec_shape, mesh) == "vmap"
+    # explicit choices are never overridden
+    assert resolve_chain_strategy("scan", TinyConv(), spec_shape, mesh) == "scan"
+
+    # end-to-end: a conv SGHMC on the chain mesh builds the vmapped epoch,
+    # keeps its state sharded, and draws distinct chains
+    s = inference.SGHMC(
+        {"lr": 0.03, "prior_std": 1.0, "num_samples": 1, "alpha": 0.1,
+         "burn_in_epochs": 0},
+        model=TinyConv(), train=splits["train"], key=jax.random.PRNGKey(2),
+        chains=2, mesh=mesh,
+    )
+    assert s._epoch_fn._chain_strategy == "vmap"
+    leaf = jax.tree.leaves(s._state.params)[0]
+    assert len(leaf.sharding.device_set) == 2
+    ens = s.sample()
+    p = jax.tree.leaves(ens.params)[0]
+    assert not np.allclose(np.asarray(p[0]), np.asarray(p[1]))
+
+    # HMC resolves mesh-aware too
+    h = inference.HMC(
+        {"step_size": 1e-4, "num_samples": 1, "L": 2, "tau": 1.0,
+         "burn": 0, "mass": 1.0},
+        model=TinyConv(), train=splits["train"], key=jax.random.PRNGKey(3),
+        chains=2, mesh=mesh,
+    )
+    h._build_fns()
+    assert h._resolved_chain_strategy == "vmap"

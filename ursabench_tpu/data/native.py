@@ -32,11 +32,16 @@ def _load_lib():
     _lib_tried = True
     try:
         # `make` is a no-op when the .so is newer than dataio.cc, and
-        # rebuilds a stale (older-version) library in place
+        # rebuilds a stale (older-version) library in place. Best-effort:
+        # a prebuilt current .so must still load on machines without a
+        # toolchain (the version assert below catches a stale binary).
         subprocess.run(
             ["make", "-C", os.path.abspath(_NATIVE_DIR)],
             check=True, capture_output=True,
         )
+    except Exception:
+        pass
+    try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.ursa_permutation.argtypes = [
             ctypes.c_int64, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64)

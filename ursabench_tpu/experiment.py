@@ -176,6 +176,18 @@ def main(argv=None):
     )
     train_split, test_split = loaders["train"], loaders["test"]
     if args.stream:
+        # only epoch-driven samplers consume the train split exclusively
+        # through the (streaming-capable) epoch/step programs; HMC and the
+        # subspace/SWA family need the whole split device-resident
+        # (full-batch potentials, BN refresh over train)
+        epoch_driven = {"SGHMC", "SGLD", "cSGHMC", "cSGLD", "SGD", "MCdropout"}
+        if args.inference_method not in epoch_driven:
+            raise SystemExit(
+                f"--stream supports the epoch-driven samplers "
+                f"{sorted(epoch_driven)}; {args.inference_method} requires "
+                "the full train split resident in HBM "
+                "(full-batch gradients / train-epoch BN refresh)"
+            )
         from .data.native import HostStreamingSplit
 
         train_split = HostStreamingSplit(

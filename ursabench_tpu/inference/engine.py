@@ -89,6 +89,28 @@ def _has_conv_params(module, spec_shape) -> bool:
     return any(len(l.shape) == 4 for l in jax.tree.leaves(shapes["params"]))
 
 
+def resolve_chain_strategy(strategy: str, module, spec_shape, mesh=None):
+    """Resolve a ``chain_strategy`` of ``'auto'`` to ``'scan'`` or ``'vmap'``
+    (the single shared rule — every sampler site routes through here).
+
+    On ONE device, scan wins for conv models: vmapping chain-stacked weights
+    lowers convs to grouped convolutions (8 vmapped PreResNet-20 chains
+    aggregate 811 steps/s vs 1586 single-chain fp32,
+    assets/preresnet_decomp.json). But when the chain axis is device-sharded
+    over a mesh 'chain' axis (>1 devices and the program is jitted globally,
+    not a shard_map local block), a global ``lax.scan`` over the sharded axis
+    would serialize the chains ACROSS chips — there GSPMD's partitioning of
+    the vmapped program is the parallel path, and each device's shard holds
+    chains/chain_shards chains so the grouped-conv penalty is bounded by the
+    local block, not the global chain count. Pass ``mesh=None`` when deciding
+    a shard_map-local advance (the local block is unsharded)."""
+    if strategy != "auto":
+        return strategy
+    if mesh is not None and mesh.shape.get("chain", 1) > 1:
+        return "vmap"
+    return "scan" if _has_conv_params(module, spec_shape) else "vmap"
+
+
 def make_epoch_fn(
     module,
     split: DataSplit,
@@ -114,7 +136,9 @@ def make_epoch_fn(
     sequentially inside one ``lax.scan`` reusing the single-chain kernels,
     and ``"auto"`` (default) picks scan iff the model has conv kernels —
     the chain-axis mirror of the ensemble engines' ``member_strategy``
-    rule (profiling/latency.py:55-66). ``vmap_hyp=True`` additionally maps the hyp dict's
+    rule (profiling/latency.py:55-66) — EXCEPT when the chain axis is
+    device-sharded over a chain-only mesh, where vmap is the parallel path
+    (resolve_chain_strategy docstring). ``vmap_hyp=True`` additionally maps the hyp dict's
     leaves over the same leading axis: the chain axis becomes a CONFIG
     axis (each "chain" trains under its own hyperparameters — the
     vectorized-sweep machinery, inference/vectorized.py).
@@ -255,9 +279,7 @@ def make_epoch_fn(
         fn = epoch_impl
         strategy = None
     else:
-        if strategy == "auto":
-            strategy = ("scan" if _has_conv_params(module, spec.shape)
-                        else "vmap")
+        strategy = resolve_chain_strategy(strategy, module, spec.shape, mesh)
         if strategy == "vmap":
             fn = jax.vmap(epoch_impl, in_axes=(0, None, None, None, None,
                                                hyp_axis))
@@ -329,9 +351,9 @@ def _make_sharded_epoch_fn(
     # chains_per_device > 1 blocks hit the same grouped-convolution
     # pathology as the single-chip vmap (make_epoch_fn docstring): scan
     # the local chain block for conv models
-    if chain_strategy == "auto":
-        chain_strategy = ("scan" if _has_conv_params(module, spec.shape)
-                          else "vmap")
+    # local (per-device) decision: the shard_map block is unsharded, so the
+    # one-device rule applies regardless of how many devices hold chains
+    chain_strategy = resolve_chain_strategy(chain_strategy, module, spec.shape)
 
     def loss_fn(params, batch_stats, x, y, dropout_key):
         variables = {"params": params}

@@ -246,13 +246,14 @@ class HMC(_Inference):
         # leapfrog across chains (conv models lower to grouped
         # convolutions — the pathology engine.make_epoch_fn's chain-axis
         # rule avoids), 'scan' runs each chain's trajectory with unbatched
-        # convs, 'auto' = scan iff conv kernels.
-        strategy = self.chain_strategy
-        if strategy == "auto":
-            from .engine import _has_conv_params
+        # convs, 'auto' = scan iff conv kernels AND no chain-sharded mesh.
+        from .engine import resolve_chain_strategy
 
-            strategy = ("scan" if _has_conv_params(module, spec.shape)
-                        else "vmap")
+        # mesh-aware: chain-sharded theta (self._place_chains) must advance
+        # via GSPMD-partitioned vmap, never a cross-chip-serializing scan
+        strategy = resolve_chain_strategy(
+            self.chain_strategy, module, spec.shape, self.mesh
+        )
         self._resolved_chain_strategy = strategy if self.chains > 1 else None
 
         def chains_draw(th, uu, ks, images, labels):

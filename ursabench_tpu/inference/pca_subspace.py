@@ -163,13 +163,14 @@ class PCASubspaceSampler(_Inference):
         # evaluate until EVERY bracket closes, and conv log-densities lower
         # to grouped convolutions), 'scan' runs each chain's bracket loop to
         # ITS OWN trip count with unbatched convs, and 'auto' = scan iff
-        # conv kernels (the chain-axis rule of engine.make_epoch_fn).
-        strategy = self.chain_strategy
-        if strategy == "auto":
-            from .engine import _has_conv_params
+        # conv kernels and no chain-sharded mesh (engine.resolve_chain_strategy).
+        from .engine import resolve_chain_strategy
 
-            strategy = ("scan" if _has_conv_params(module, spec.shape)
-                        else "vmap")
+        # mesh-aware: chain-sharded coords advance via GSPMD-partitioned
+        # vmap, never a cross-chip-serializing scan (engine docstring)
+        strategy = resolve_chain_strategy(
+            self.chain_strategy, module, spec.shape, self.mesh
+        )
         self._resolved_chain_strategy = strategy if C > 1 else None
 
         def transition_impl(key, theta, prior, cur, images, labels, mean,

@@ -51,6 +51,11 @@ def auto_mesh(chains: int, batch_size: Optional[int] = None,
     if batch_size is not None:
         while dd > 1 and batch_size % dd:
             dd -= 1
+    if cd * dd <= 1:
+        # nothing shardable (e.g. chains=1 + batch_size coprime with every
+        # device-count divisor): behave like the single-device case rather
+        # than returning a degenerate 1x1 mesh the epoch builders reject
+        return None
     arr = np.asarray(devices[: cd * dd]).reshape(cd, dd)
     return Mesh(arr, ("chain", "data"))
 
