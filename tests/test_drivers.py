@@ -510,3 +510,23 @@ def test_experiment_stream_flag(tmp_path):
         "--synthetic_n_train", "96", "--synthetic_n_test", "32",
     ])
     assert "error_rate" in perf and np.isfinite(perf["error_rate"])
+
+
+def test_experiment_stream_rejects_non_epoch_samplers(tmp_path):
+    """--stream with a sampler that needs the whole split device-resident
+    (HMC full-batch potential, SWA/SWAG BN refresh, PCA subspace) exits
+    with a clear message instead of an AttributeError mid-construction."""
+    import pytest
+
+    from ursabench_tpu.experiment import main
+
+    for method in ("HMC", "SWAG", "PCASubspaceSampler"):
+        with pytest.raises(SystemExit, match="epoch-driven"):
+            main([
+                "--dataset", "MNIST", "--model", "MLP200MNIST",
+                "--inference_method", method, "--task", "Prediction",
+                "--batch_size", "32", "--seed", "0", "--stream",
+                "--save_path", str(tmp_path / "bad"),
+                "--hyperparams", json.dumps({"lr": 0.03}),
+                "--synthetic_n_train", "96", "--synthetic_n_test", "32",
+            ])
