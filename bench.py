@@ -155,17 +155,39 @@ def main():
         batches = [b for b in test.batches() if b[0].shape[0] == batch]
         np.asarray(bma_probs(params, bstats, batches[0][0]))  # compile
         bma_flops_batch = xla_cost(bma_probs, params, bstats, batches[0][0])["flops"]
+
+        # device-amortized sweep: K whole test-set passes inside ONE
+        # program (scan over stacked batches x fori_loop over sweeps), one
+        # fetch. A Python loop of per-batch dispatches measures the tunnel's
+        # RPC pipelining, not the chip (observed 97k vs 122k img/s run to
+        # run); with BMA_SWEEPS full sweeps per fetch the ~28 ms RPC term
+        # is <3% of the window (latency-suite amortization rule).
+        xs = jnp.stack([x for x, _ in batches])  # (nb, bs, H, W, C)
+        BMA_SWEEPS = 16
+
+        @jax.jit
+        def bma_sweeps(params, bstats, xs):
+            def sweep(carry, _):
+                def body(c, x):
+                    # nested jit traces inline — same program as the
+                    # per-batch call whose flops xla_cost counted above
+                    return c + bma_probs(params, bstats, x).sum(), None
+
+                c, _ = jax.lax.scan(body, carry, xs)
+                return c, None
+
+            out, _ = jax.lax.scan(sweep, jnp.float32(0.0), None,
+                                  length=BMA_SWEEPS)
+            return out
+
+        np.asarray(bma_sweeps(params, bstats, xs))  # compile + first exec
         best_imgs = 0.0
         for _ in range(REPS):
             t0 = time.perf_counter()
-            out = None
-            for x, _ in batches:
-                out = bma_probs(params, bstats, x)
-            # host-fetch the LAST OUTPUT: the only sync that provably waits
-            # for the whole chain on remote device tunnels
-            np.asarray(out)
+            np.asarray(bma_sweeps(params, bstats, xs))  # fetch = true sync
             best_imgs = max(
-                best_imgs, len(batches) * batch / (time.perf_counter() - t0)
+                best_imgs,
+                BMA_SWEEPS * len(batches) * batch / (time.perf_counter() - t0),
             )
     except Exception:
         pass
