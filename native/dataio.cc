@@ -273,6 +273,31 @@ int64_t ursa_stream_next_u8(void* handle, uint8_t* out_x, int32_t* out_y) {
   return bi;
 }
 
+// Rewind a stream for a new epoch: fresh permutation, SAME ring buffers.
+// Reusing the slots matters beyond avoiding the malloc: with the TPU PJRT
+// plugin loaded, anonymous first-touch page faults run ~170x slower than
+// warm pages, so re-allocating multi-MB prefetch buffers every epoch
+// (create/destroy) re-pays that fault cost each time. Valid whether or not
+// the previous epoch was exhausted (the worker is stopped and restarted).
+void ursa_stream_reset(void* handle, uint64_t seed, int32_t shuffle) {
+  auto* s = static_cast<UrsaStream*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->stop = true;
+  }
+  s->cv_space.notify_all();
+  if (s->worker.joinable()) s->worker.join();
+  s->stop = false;
+  s->produced = 0;
+  s->consumed = 0;
+  ursa_permutation(s->n, seed, s->order.data());
+  if (!shuffle) {
+    for (int64_t i = 0; i < s->n; ++i) s->order[i] = i;
+  }
+  for (auto& slot : s->ring) slot.batch_index = -1;
+  s->worker = std::thread(worker_loop, s);
+}
+
 void ursa_stream_destroy(void* handle) {
   auto* s = static_cast<UrsaStream*>(handle);
   {
@@ -284,6 +309,6 @@ void ursa_stream_destroy(void* handle) {
   delete s;
 }
 
-int32_t ursa_dataio_version() { return 3; }
+int32_t ursa_dataio_version() { return 4; }
 
 }  // extern "C"

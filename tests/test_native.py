@@ -213,3 +213,86 @@ def test_sampler_trains_from_streaming_split():
         assert False, "expected assertion for chains>1 streaming"
     except AssertionError as e:
         assert "single-chain" in str(e)
+
+
+def test_chunked_epoch_contents_and_ring_reuse():
+    """chunk_batches=M stages M batches per transfer as (M, B, ...) device
+    arrays; contents must equal the per-batch stream's (same seed => same
+    permutation), across MULTIPLE epochs (exercises ursa_stream_reset +
+    staging-ring slot reuse: more transfers than ring slots)."""
+    rng = np.random.default_rng(3)
+    n, h, w, c = 256, 8, 8, 3
+    images = rng.integers(0, 256, (n, h, w, c), dtype=np.uint8)
+    labels = np.arange(n, dtype=np.int64)  # labels reveal gathered indices
+    spec = ImageSpec(h, c, (0.5, 0.4, 0.3), (0.2, 0.25, 0.3))
+    chunked = native.HostStreamingSplit(images, labels, batch_size=16,
+                                        spec=spec, seed=11, chunk_batches=4)
+    flat = native.HostStreamingSplit(images, labels, batch_size=16,
+                                     spec=spec, seed=11)
+    assert chunked.num_chunks == 4 and chunked.num_batches == 16
+    for _ in range(3):  # 3 epochs: reset path + ring laps (4 chunks > 3 slots)
+        ref = [(np.asarray(x), np.asarray(y)) for x, y in flat.epoch()]
+        got = list(chunked.epoch())
+        assert len(got) == 4
+        for ci, (x, y) in enumerate(got):
+            x, y = np.asarray(x), np.asarray(y)
+            assert x.shape == (4, 16, h, w, c) and y.shape == (4, 16)
+            assert x.dtype == np.uint8
+            for j in range(4):
+                rx, ry = ref[ci * 4 + j]
+                np.testing.assert_array_equal(x[j], rx)
+                np.testing.assert_array_equal(y[j], ry)
+                np.testing.assert_array_equal(x[j], images[ry])
+
+
+def test_chunked_streamed_training_matches_per_batch():
+    """The chunked scan must train BIT-IDENTICALLY to the per-batch streamed
+    path: same permutation (same seed), same per-step RNG split sequence,
+    same global batch index fed to the lr schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    from ursabench_tpu import models
+    from ursabench_tpu.data.sources import synthetic
+    from ursabench_tpu.inference.engine import (
+        TrainState, init_variables, make_epoch_fn,
+    )
+    from ursabench_tpu.inference.sgmcmc import _cosine_hyp_lr, _sghmc_hyp_update
+
+    images, labels = synthetic("MNIST", train=True, n=192)
+    spec = ImageSpec(28, 1, (0.1307,), (0.3081,))
+    module = models.get_model("MLP200MNIST").build(10)
+    hyp = {
+        "lr0": jnp.float32(0.05), "eta_min": jnp.float32(0.0),
+        "t_max": jnp.float32(10.0), "momentum": jnp.float32(0.9),
+        "wd_over_n": jnp.float32(1.0 / 192), "n_train": jnp.float32(192),
+    }
+
+    def run(split):
+        variables = init_variables(module, jax.random.PRNGKey(0), (28, 28, 1))
+        state = TrainState(
+            params=variables["params"],
+            momentum=jax.tree.map(jnp.zeros_like, variables["params"]),
+            batch_stats=variables.get("batch_stats", {}),
+            key=jax.random.PRNGKey(1),
+            step=jnp.zeros((), jnp.int32),
+        )
+        epoch_fn = make_epoch_fn(
+            module, split, lr_fn=_cosine_hyp_lr, update_fn=_sghmc_hyp_update,
+            use_augment=False,
+        )
+        for epoch in range(2):
+            state, loss = epoch_fn(state, jnp.asarray(float(epoch)),
+                                   jnp.asarray(1.0), hyp)
+        return state, loss
+
+    imgs = np.asarray(images)
+    s_flat, l_flat = run(native.HostStreamingSplit(
+        imgs, labels, batch_size=32, spec=spec, seed=5))
+    s_chunk, l_chunk = run(native.HostStreamingSplit(
+        imgs, labels, batch_size=32, spec=spec, seed=5, chunk_batches=3))
+    for a, b in zip(jax.tree.leaves(s_flat.params),
+                    jax.tree.leaves(s_chunk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(l_flat), float(l_chunk), rtol=1e-5)

@@ -714,3 +714,48 @@ def test_chain_only_mesh_auto_resolves_to_vmap():
     )
     h._build_fns()
     assert h._resolved_chain_strategy == "vmap"
+
+
+def test_streamed_sharded_chunk_matches_single_device():
+    """The chunked (stage-to-HBM) sharded streaming scan reproduces the
+    single-device PER-BATCH streaming path exactly: same permutation (same
+    seed), same per-step key-split sequence inside the scan, psum'd
+    global-mean gradients per step."""
+    import jax.numpy as jnp
+
+    from ursabench_tpu.data.native import HostStreamingSplit
+    from ursabench_tpu.data.transforms import ImageSpec
+    from ursabench_tpu.inference.engine import make_epoch_fn
+    from ursabench_tpu.inference.sgmcmc import _cosine_hyp_lr, _sghmc_hyp_update
+
+    rng = np.random.default_rng(4)
+    n, bsz = 128, 32
+    images = rng.integers(0, 256, (n, 28, 28, 1), dtype=np.uint8)
+    labels = rng.integers(0, 10, n).astype(np.int64)
+    spec = ImageSpec(28, 1, (0.5,), (0.5,))
+    module = models.get_model("MLP200MNIST").build(10)
+    mesh = make_mesh(8, chain_devices=1)  # ('chain': 1, 'data': 8)
+    hyp = {
+        "lr0": jnp.float32(0.05), "eta_min": jnp.float32(0.0),
+        "t_max": jnp.float32(10.0), "momentum": jnp.float32(0.9),
+        "wd_over_n": jnp.float32(1.0 / n), "n_train": jnp.float32(n),
+    }
+
+    def run(mesh_arg, chunk_batches):
+        stream = HostStreamingSplit(images, labels, batch_size=bsz, spec=spec,
+                                    seed=9, chunk_batches=chunk_batches)
+        fn = make_epoch_fn(module, stream, lr_fn=_cosine_hyp_lr,
+                           update_fn=_sghmc_hyp_update, mesh=mesh_arg)
+        state = _fresh_state(module, jax.random.PRNGKey(0), spec.shape)
+        for epoch in range(2):  # noise ON: the key stream must line up too
+            state, loss = fn(state, jnp.float32(epoch), jnp.float32(1.0), hyp)
+        return state, loss
+
+    st_chunked, loss_chunked = run(mesh, chunk_batches=2)
+    st_single, loss_single = run(None, chunk_batches=1)
+    np.testing.assert_allclose(np.asarray(loss_chunked),
+                               np.asarray(loss_single), rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_chunked.params),
+                    jax.tree.leaves(st_single.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)

@@ -22,7 +22,7 @@ _lib = None
 _lib_tried = False
 
 
-_DATAIO_VERSION = 3
+_DATAIO_VERSION = 4
 
 
 def _load_lib():
@@ -83,6 +83,9 @@ def _load_lib():
         lib.ursa_stream_next_u8.restype = ctypes.c_int64
         lib.ursa_stream_num_batches.argtypes = [ctypes.c_void_p]
         lib.ursa_stream_num_batches.restype = ctypes.c_int64
+        lib.ursa_stream_reset.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32
+        ]
         lib.ursa_stream_destroy.argtypes = [ctypes.c_void_p]
         lib.ursa_dataio_version.restype = ctypes.c_int32
         assert lib.ursa_dataio_version() == _DATAIO_VERSION
@@ -112,12 +115,25 @@ def permutation(n: int, seed: int) -> np.ndarray:
 def gather_normalize(
     images: np.ndarray, labels: np.ndarray, indices: np.ndarray,
     mean: np.ndarray, std: np.ndarray,
+    out_x: np.ndarray = None, out_y: np.ndarray = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(batch, H, W, C) float32 normalized + (batch,) int32 labels."""
+    """(batch, H, W, C) float32 normalized + (batch,) int32 labels.
+    Pass ``out_x``/``out_y`` to reuse (warm) buffers — fresh per-call
+    allocations pay the slow anonymous-fault path (_StagingRing doc)."""
     n, h, w, c = images.shape
     b = indices.shape[0]
     lib = _load_lib()
-    if lib is None:
+    if lib is None or c > 16:  # >16 channels: outside the C ABI's affine LUT
+        if out_x is not None:
+            np.subtract(images[indices], 0, out=out_x, casting="unsafe")
+            out_x /= 255.0
+            out_x -= mean
+            out_x /= std
+            y = labels[indices].astype(np.int32)
+            if out_y is not None:
+                out_y[:] = y
+                y = out_y
+            return out_x, y
         x = (images[indices].astype(np.float32) / 255.0 - mean) / std
         return x, labels[indices].astype(np.int32)
     images = np.ascontiguousarray(images)
@@ -125,8 +141,10 @@ def gather_normalize(
     idx = np.ascontiguousarray(indices, np.int64)
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
-    out_x = np.empty((b, h, w, c), np.float32)
-    out_y = np.empty(b, np.int32)
+    if out_x is None:
+        out_x = np.empty((b, h, w, c), np.float32)
+    if out_y is None:
+        out_y = np.empty(b, np.int32)
     lib.ursa_gather_normalize(
         _ptr(images, ctypes.c_uint8), _ptr(labels64, ctypes.c_int64),
         h * w, c, _ptr(idx, ctypes.c_int64), b,
@@ -158,6 +176,45 @@ def gather_u8(
     return out_x, out_y
 
 
+_RING_DEPTH = 3  # host staging slots in flight (device_put may defer reads)
+
+
+class _StagingRing:
+    """Persistent ring of host staging buffers for the stream->device hop.
+
+    With the TPU PJRT plugin loaded, anonymous first-touch page faults run
+    ~170x slower (~25 MB/s) than warm pages — a fresh ``np.empty``/``.copy()``
+    per batch was the streamed path's actual bottleneck at ImageNet shapes
+    (19 MB/batch => ~0.6 s/batch of pure fault cost; the r4 2.6%-MFU
+    finding). The ring allocates ``depth`` slots ONCE and reuses them
+    forever: the only fault cost is the first lap. ``device_put`` may defer
+    reading the host buffer, so each slot remembers the device arrays it
+    produced and blocks on their transfer before the slot is overwritten
+    (a full lap later — by then the consumer has long since trained on
+    them, so the block is effectively free)."""
+
+    def __init__(self, x_shape, x_dtype, y_len, depth=_RING_DEPTH):
+        self.x = [np.empty(x_shape, x_dtype) for _ in range(depth)]
+        self.y = [np.empty(y_len, np.int32) for _ in range(depth)]
+        self.dev = [None] * depth
+        self.depth = depth
+        self._i = 0
+
+    def acquire(self):
+        """Return the next slot index, blocking until its previous device
+        arrays (one lap ago) are safe to overwrite."""
+        i = self._i % self.depth
+        if self.dev[i] is not None:
+            for arr in self.dev[i]:
+                arr.block_until_ready()
+            self.dev[i] = None
+        return i
+
+    def commit(self, i, dev_arrays):
+        self.dev[i] = dev_arrays
+        self._i += 1
+
+
 class HostStreamingSplit:
     """Shuffled epoch iterator over a host-resident dataset with
     double-buffered device transfer — the streaming alternative to
@@ -174,12 +231,21 @@ class HostStreamingSplit:
     (the streamed path's bottleneck on any transport: PCIe, DCN, or a
     remote tunnel) and bit-identical to the in-HBM epoch's on-device
     ``normalize()``. ``'float32'`` keeps the fused C++ gather+normalize
-    (host does the affine; the step sees ready batches)."""
+    (host does the affine; the step sees ready batches).
+
+    ``chunk_batches=M > 1`` stages M batches per transfer: ``epoch()``
+    yields ``(x, y)`` of shape ``(M, batch, ...)`` and the engine scans the
+    M training steps in ONE device program (stage-to-HBM streaming) — the
+    per-step dispatch/transfer overhead amortizes M-fold, for datasets that
+    exceed HBM but whose chunks don't. All host buffers (the C++ prefetch
+    ring via ``ursa_stream_reset`` and the staging ring here) are allocated
+    once per split and reused across epochs."""
 
     def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
                  spec, shuffle: bool = True, seed: int = 0,
-                 transfer_dtype: str = "uint8"):
+                 transfer_dtype: str = "uint8", chunk_batches: int = 1):
         assert transfer_dtype in ("uint8", "float32"), transfer_dtype
+        assert chunk_batches >= 1, chunk_batches
         self.images = images
         self.labels = labels
         self.batch_size = batch_size
@@ -187,69 +253,139 @@ class HostStreamingSplit:
         self.shuffle = shuffle
         self.seed = seed
         self.transfer_dtype = transfer_dtype
+        self.chunk_batches = chunk_batches
         self._epoch = 0
+        self._ring = None
+        self._handle = None
+        self._handle_refs = None  # keeps the arrays the C++ stream points at
 
     @property
     def n(self) -> int:
         return self.images.shape[0]
 
     @property
+    def num_chunks(self) -> int:
+        return self.n // (self.batch_size * self.chunk_batches)
+
+    @property
     def num_batches(self) -> int:
-        return self.n // self.batch_size
+        # chunk mode drops the ragged tail at chunk granularity (mirrors
+        # batch mode dropping n % batch_size)
+        return self.num_chunks * self.chunk_batches
+
+    def __del__(self):
+        handle, self._handle = self._handle, None
+        if handle is not None:
+            try:
+                _lib.ursa_stream_destroy(handle)
+            except Exception:
+                pass  # interpreter shutdown: module globals may be gone
+
+    def _rows_per_transfer(self) -> int:
+        return self.batch_size * self.chunk_batches
+
+    def _yield_shapes(self):
+        """(x_shape, y_shape) as yielded to the consumer."""
+        item = tuple(self.images.shape[1:])
+        if self.chunk_batches > 1:
+            return ((self.chunk_batches, self.batch_size) + item,
+                    (self.chunk_batches, self.batch_size))
+        return ((self.batch_size,) + item, (self.batch_size,))
+
+    def _stage_and_put(self, jax, ring, i, sharding):
+        """device_put slot i (reshaped to the chunked view when M>1).
+
+        The CPU backend ZERO-COPIES suitably-aligned numpy buffers — the
+        returned Array aliases the staging slot, so slot reuse would corrupt
+        already-yielded batches (and the aliasing decision is
+        alignment-dependent, so it can't be relied on either way): there we
+        hand device_put a fresh copy (CPU streaming is the test backend;
+        throughput doesn't matter). Non-CPU transfers serialize the host
+        bytes at put time (ring.acquire additionally blocks on the transfer
+        before a slot is overwritten), keeping the remote-TPU path
+        allocation-free."""
+        if sharding is not None:
+            platform = next(iter(sharding.device_set)).platform
+        else:
+            platform = jax.devices()[0].platform
+        xs, ys = self._yield_shapes()
+        x, y = ring.x[i].reshape(xs), ring.y[i].reshape(ys)
+        if platform == "cpu":
+            x, y = x.copy(), y.copy()
+        xd = jax.device_put(x, sharding)
+        yd = jax.device_put(y, sharding)
+        ring.commit(i, (xd, yd))
+        return xd, yd
 
     def epoch(self, sharding=None) -> Iterator:
         """Yield (x, y) device batches for one shuffled epoch. With a
         ``sharding`` (e.g. NamedSharding over the mesh 'data' axis) every
         batch is device_put straight into that layout — the streamed
-        multi-chip path (engine.make_sharded_streaming_step_fn)."""
+        multi-chip path (engine.make_sharded_streaming_step_fn). In chunk
+        mode pass a sharding whose batch axis is axis 1 (P(None, 'data'))."""
         import jax
 
         mean = np.asarray(self.spec.mean, np.float32)
         std = np.asarray(self.spec.std, np.float32)
         epoch_seed = self.seed + self._epoch
         self._epoch += 1
-        bsz = self.batch_size
-        nb = self.num_batches
-        if nb == 0:
+        rows = self._rows_per_transfer()
+        nt = self.n // rows  # transfers this epoch (batches or chunks)
+        if nt == 0:
             return
         u8 = self.transfer_dtype == "uint8"
+        if self._ring is None:
+            item = int(np.prod(self.images.shape[1:]))
+            self._ring = _StagingRing(
+                (rows, item), np.uint8 if u8 else np.float32, rows)
         lib = _load_lib()
         # native contract (dataio.cc ursa_stream_create): <=16 channels
         # (float32 mode only — uint8 mode has no host affine), n >= batch;
         # anything else uses the numpy gather path
-        if lib is not None and self.n >= bsz and (
+        if lib is not None and self.n >= rows and (
                 u8 or self.images.shape[3] <= 16):
             yield from self._native_epoch(jax, lib, mean, std, epoch_seed,
                                           sharding, u8)
             return
-        # numpy fallback: gather on the consumer thread, rely on async
-        # device dispatch for (partial) overlap
+        # numpy fallback: gather on the consumer thread into the staging
+        # ring (no fresh allocations), rely on async device dispatch for
+        # (partial) overlap
         if self.shuffle:
             order = permutation(self.n, epoch_seed)
         else:
             order = np.arange(self.n, dtype=np.int64)
+        ring = self._ring
+        flat = self.images.reshape(self.n, -1)
 
-        def host_batch(i):
-            idx = order[i * bsz: (i + 1) * bsz]
+        def host_batch(t):
+            idx = order[t * rows: (t + 1) * rows]
+            i = ring.acquire()
             if u8:
-                x, y = gather_u8(self.images, self.labels, idx)
+                np.take(flat, idx, axis=0, out=ring.x[i])
+                ring.y[i][:] = self.labels[idx]
             else:
-                x, y = gather_normalize(self.images, self.labels, idx,
-                                        mean, std)
-            return jax.device_put(x, sharding), jax.device_put(y, sharding)
+                x = ring.x[i].reshape((rows,) + self.images.shape[1:])
+                gather_normalize(self.images, self.labels, idx, mean, std,
+                                 out_x=x, out_y=ring.y[i])
+            return self._stage_and_put(jax, ring, i, sharding)
 
         nxt = host_batch(0)
-        for i in range(nb):
+        for t in range(nt):
             cur = nxt
-            if i + 1 < nb:
-                nxt = host_batch(i + 1)
+            if t + 1 < nt:
+                nxt = host_batch(t + 1)
             yield cur
 
-    def _native_epoch(self, jax, lib, mean, std, epoch_seed, sharding=None,
-                      u8=False):
-        """True background prefetch: the C++ worker thread gathers batch
-        i+1..i+depth while Python dispatches batch i to the device (the
-        blocking ursa_stream_next call releases the GIL)."""
+    def _ensure_stream(self, lib, mean, std, epoch_seed, u8):
+        """Create the C++ prefetch stream once; later epochs REUSE it via
+        ursa_stream_reset so the multi-MB internal ring buffers (and their
+        faulted pages) persist — create/destroy per epoch re-pays the
+        anonymous first-touch cost every epoch."""
+        seed = epoch_seed & (2 ** 64 - 1)
+        shuf = 1 if self.shuffle else 0
+        if self._handle is not None:
+            lib.ursa_stream_reset(self._handle, seed, shuf)
+            return self._handle
         images = self.images
         if not (isinstance(images, np.ndarray) and images.flags["C_CONTIGUOUS"]
                 and images.dtype == np.uint8):
@@ -258,35 +394,41 @@ class HostStreamingSplit:
         mean = np.ascontiguousarray(mean, np.float32)
         std = np.ascontiguousarray(std, np.float32)
         n, h, w, c = images.shape
-        seed = epoch_seed & (2 ** 64 - 1)
-        shuf = 1 if self.shuffle else 0
+        rows = self._rows_per_transfer()
         if u8:
             handle = lib.ursa_stream_create_u8(
                 _ptr(images, ctypes.c_uint8), _ptr(labels, ctypes.c_int64),
-                n, h * w * c, self.batch_size, seed, shuf, 2,
+                n, h * w * c, rows, seed, shuf, 2,
             )
         else:
             handle = lib.ursa_stream_create(
                 _ptr(images, ctypes.c_uint8), _ptr(labels, ctypes.c_int64),
-                n, h * w, c, self.batch_size,
+                n, h * w, c, rows,
                 _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
                 seed, shuf, 2,
             )
         if not handle:  # contract pre-checked in epoch(); this is a real bug
             raise RuntimeError("ursa_stream_create failed")
-        try:
-            out_x = np.empty((self.batch_size, h, w, c),
-                             np.uint8 if u8 else np.float32)
-            out_y = np.empty(self.batch_size, np.int32)
-            nxt = (lib.ursa_stream_next_u8 if u8 else lib.ursa_stream_next)
-            xptr = _ptr(out_x, ctypes.c_uint8 if u8 else ctypes.c_float)
-            while True:
-                bi = nxt(handle, xptr, _ptr(out_y, ctypes.c_int32))
-                if bi < 0:
-                    return
-                # copy before device_put: the stream reuses these buffers
-                # for the next batch and device_put may defer its read
-                yield (jax.device_put(out_x.copy(), sharding),
-                       jax.device_put(out_y.copy(), sharding))
-        finally:
-            lib.ursa_stream_destroy(handle)
+        self._handle = handle
+        # the stream reads these arrays for its whole lifetime
+        self._handle_refs = (images, labels, mean, std)
+        return handle
+
+    def _native_epoch(self, jax, lib, mean, std, epoch_seed, sharding=None,
+                      u8=False):
+        """True background prefetch: the C++ worker thread gathers batch
+        i+1..i+depth while Python dispatches batch i to the device (the
+        blocking ursa_stream_next call releases the GIL). The C++ slot is
+        memcpy'd straight into a staging-ring slot (warm pages) that
+        device_put reads — no per-batch allocation anywhere on the path."""
+        handle = self._ensure_stream(lib, mean, std, epoch_seed, u8)
+        ring = self._ring
+        nxt = (lib.ursa_stream_next_u8 if u8 else lib.ursa_stream_next)
+        ct = ctypes.c_uint8 if u8 else ctypes.c_float
+        while True:
+            i = ring.acquire()
+            bi = nxt(handle, _ptr(ring.x[i], ct),
+                     _ptr(ring.y[i], ctypes.c_int32))
+            if bi < 0:
+                return
+            yield self._stage_and_put(jax, ring, i, sharding)

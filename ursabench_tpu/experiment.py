@@ -78,6 +78,12 @@ def build_parser():
                         "device_put) instead of a device-resident dataset — "
                         "the beyond-HBM configuration; composes with a "
                         "('chain'=1,'data'=N) mesh")
+    p.add_argument("--stream_chunk", type=int, default=1, metavar="M",
+                   help="with --stream, stage M batches per transfer and "
+                        "scan the M training steps in one device program "
+                        "(stage-to-HBM streaming: per-step dispatch/transfer "
+                        "overhead amortizes M-fold; the epoch tail beyond a "
+                        "whole number of chunks is dropped)")
     return p
 
 
@@ -193,7 +199,7 @@ def main(argv=None):
         train_split = HostStreamingSplit(
             train_split.images, train_split.labels,
             batch_size=train_split.batch_size, spec=train_split.spec,
-            seed=args.seed,
+            seed=args.seed, chunk_batches=args.stream_chunk,
         )
     num_classes = int(num_classes)
     build_kw = {}

@@ -165,6 +165,7 @@ def make_epoch_fn(
             f"streaming split has {split.n} samples < one batch "
             f"({split.batch_size}) — no batches to train on"
         )
+        chunked = getattr(split, "chunk_batches", 1) > 1
         if data_mesh:
             assert mesh.shape.get("chain", 1) == 1, (
                 "streamed epochs shard over 'data' only (chain axis must be 1)"
@@ -172,14 +173,18 @@ def make_epoch_fn(
             assert split.batch_size % mesh.shape["data"] == 0, (
                 (split.batch_size, mesh.shape["data"])
             )
-            step = make_sharded_streaming_step_fn(
+            maker = (make_sharded_streaming_chunk_fn if chunked
+                     else make_sharded_streaming_step_fn)
+            step = maker(
                 module, mesh, lr_fn=lr_fn, update_fn=update_fn,
                 spec=split.spec, augment=use_augment,
             )
             batch_sharding = step._batch_sharding
         else:
             assert mesh is None, "streaming meshes must have a 'data' axis > 1"
-            step = make_streaming_step_fn(
+            maker = (make_streaming_chunk_fn if chunked
+                     else make_streaming_step_fn)
+            step = maker(
                 module, lr_fn=lr_fn, update_fn=update_fn,
                 spec=split.spec, augment=use_augment,
             )
@@ -468,21 +473,9 @@ def _make_sharded_epoch_fn(
     return epoch_fn
 
 
-def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
-                           spec=None, augment=True):
-    """Single-batch jitted training step for host-streamed data (datasets
-    too large for HBM): the C++ pipeline (data/native.HostStreamingSplit)
-    gathers on the host and double-buffers device transfers; this step
-    consumes one batch at a time. A raw uint8 batch (the split's default
-    ``transfer_dtype='uint8'`` — 4x fewer transferred bytes) is normalized
-    ON DEVICE with the same ``normalize()`` as the in-HBM epoch path; a
-    float32 batch is taken as already host-normalized. Pass the split's
-    ``spec`` to normalize and (with ``augment=True``) apply random
-    crop/flip on device. Signature:
-    ``step(state, x, y, epoch, batch_idx, noise_on, hyp) -> (state, loss)``.
-    """
-    do_augment = (augment and spec is not None
-                  and (spec.random_crop_pad or spec.random_flip))
+def _stream_step_impl(module, spec, do_augment, lr_fn, update_fn):
+    """Shared single-batch streamed-step body: the per-batch fn and the
+    chunked scan (stage-to-HBM) compile the SAME training semantics."""
 
     def loss_fn(params, batch_stats, x, y, dropout_key):
         variables = {"params": params}
@@ -516,8 +509,57 @@ def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
             new_bstats = state.batch_stats
         return TrainState(params, mom, new_bstats, key, state.step + 1), loss
 
+    return step_impl
+
+
+def make_streaming_step_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
+                           spec=None, augment=True):
+    """Single-batch jitted training step for host-streamed data (datasets
+    too large for HBM): the C++ pipeline (data/native.HostStreamingSplit)
+    gathers on the host and double-buffers device transfers; this step
+    consumes one batch at a time. A raw uint8 batch (the split's default
+    ``transfer_dtype='uint8'`` — 4x fewer transferred bytes) is normalized
+    ON DEVICE with the same ``normalize()`` as the in-HBM epoch path; a
+    float32 batch is taken as already host-normalized. Pass the split's
+    ``spec`` to normalize and (with ``augment=True``) apply random
+    crop/flip on device. Signature:
+    ``step(state, x, y, epoch, batch_idx, noise_on, hyp) -> (state, loss)``.
+    """
+    do_augment = (augment and spec is not None
+                  and (spec.random_crop_pad or spec.random_flip))
+    step_impl = _stream_step_impl(module, spec, do_augment, lr_fn, update_fn)
     key = ("stream_step", module, lr_fn, update_fn, spec, do_augment)
     return _cached_program(key, lambda: jax.jit(step_impl))
+
+
+def make_streaming_chunk_fn(module, *, lr_fn: LrFn, update_fn: UpdateFn,
+                            spec=None, augment=True):
+    """Chunked (stage-to-HBM) streaming: one jitted ``lax.scan`` trains on a
+    whole staged chunk of M batches — ``chunk(state, x:(M,B,...), y:(M,B),
+    epoch, chunk_idx, noise_on, hyp) -> (state, mean_loss)``. For datasets
+    that exceed HBM but whose chunks don't, this amortizes the per-step
+    dispatch (one device program per M steps instead of per step) while the
+    host stream gathers + transfers chunk k+1 during chunk k's scan. Step
+    semantics are ``make_streaming_step_fn``'s body, scanned."""
+    do_augment = (augment and spec is not None
+                  and (spec.random_crop_pad or spec.random_flip))
+    step_impl = _stream_step_impl(module, spec, do_augment, lr_fn, update_fn)
+
+    def chunk_impl(state: TrainState, x, y, epoch, chunk_idx, noise_on, hyp):
+        m = x.shape[0]
+
+        def body(st, inp):
+            xi, yi, j = inp
+            st, loss = step_impl(st, xi, yi, epoch, chunk_idx * m + j,
+                                 noise_on, hyp)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, (x, y, jnp.arange(m)))
+        return state, losses.mean()
+
+    key = ("stream_chunk", module, lr_fn, update_fn, spec, do_augment)
+    return _cached_program(
+        key, lambda: jax.jit(chunk_impl, donate_argnums=(0,)))
 
 
 def make_sharded_streaming_step_fn(module, mesh, *, lr_fn: LrFn,
@@ -537,6 +579,30 @@ def make_sharded_streaming_step_fn(module, mesh, *, lr_fn: LrFn,
     do_augment = (augment and spec is not None
                   and (spec.random_crop_pad or spec.random_flip))
     data_shards = mesh.shape["data"]
+    local_step = _sharded_stream_step_impl(
+        module, spec, do_augment, lr_fn, update_fn, data_shards)
+
+    def _build():
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        step = jax.jit(sharded, donate_argnums=(0,))
+        step._batch_sharding = NamedSharding(mesh, P("data"))
+        return step
+
+    key = ("sharded_stream_step", module, lr_fn, update_fn, spec,
+           do_augment, mesh)
+    return _cached_program(key, _build)
+
+
+def _sharded_stream_step_impl(module, spec, do_augment, lr_fn, update_fn,
+                              data_shards):
+    """Shared shard_map-local streamed-step body (per-batch and chunked
+    sharded streaming compile the same training semantics)."""
 
     def loss_fn(params, batch_stats, x, y, dropout_key):
         variables = {"params": params}
@@ -584,19 +650,52 @@ def make_sharded_streaming_step_fn(module, mesh, *, lr_fn: LrFn,
         )
         return TrainState(params, mom, new_bstats, key, state.step + 1), loss
 
+    return local_step
+
+
+def make_sharded_streaming_chunk_fn(module, mesh, *, lr_fn: LrFn,
+                                    update_fn: UpdateFn, spec=None,
+                                    augment=True):
+    """Data-parallel chunked streaming: the staged chunk arrives sharded
+    over 'data' on its BATCH axis (axis 1 — ``chunk._batch_sharding`` is
+    P(None, 'data')) and one shard_map scan trains the M steps with a psum'd
+    global-mean gradient per step — ``make_sharded_streaming_step_fn``
+    semantics, dispatch amortized M-fold (the beyond-HBM multi-chip path at
+    full rate)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    do_augment = (augment and spec is not None
+                  and (spec.random_crop_pad or spec.random_flip))
+    data_shards = mesh.shape["data"]
+    local_step = _sharded_stream_step_impl(
+        module, spec, do_augment, lr_fn, update_fn, data_shards)
+
+    def local_chunk(state: TrainState, x, y, epoch, chunk_idx, noise_on, hyp):
+        m = x.shape[0]
+
+        def body(st, inp):
+            xi, yi, j = inp
+            st, loss = local_step(st, xi, yi, epoch, chunk_idx * m + j,
+                                  noise_on, hyp)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, (x, y, jnp.arange(m)))
+        return state, losses.mean()
+
     def _build():
         sharded = jax.shard_map(
-            local_step,
+            local_chunk,
             mesh=mesh,
-            in_specs=(P(), P("data"), P("data"), P(), P(), P(), P()),
+            in_specs=(P(), P(None, "data"), P(None, "data"), P(), P(), P(),
+                      P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        step = jax.jit(sharded, donate_argnums=(0,))
-        step._batch_sharding = NamedSharding(mesh, P("data"))
-        return step
+        chunk = jax.jit(sharded, donate_argnums=(0,))
+        chunk._batch_sharding = NamedSharding(mesh, P(None, "data"))
+        return chunk
 
-    key = ("sharded_stream_step", module, lr_fn, update_fn, spec,
+    key = ("sharded_stream_chunk", module, lr_fn, update_fn, spec,
            do_augment, mesh)
     return _cached_program(key, _build)
 
