@@ -759,3 +759,64 @@ def test_streamed_sharded_chunk_matches_single_device():
                     jax.tree.leaves(st_single.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_mesh_sharded_config_sweep_matches_single_device():
+    """VERDICT r4 item 3: K hyperparameter configs ride the mesh's 'chain'
+    axis (vmap_hyp through _make_sharded_epoch_fn) and must reproduce the
+    single-device MethodSweep — which is itself certified against K
+    individual samplers (test_vectorized) — so mesh-sharded sweeps train
+    each config under ITS OWN hyp dict with psum'd global-mean grads."""
+    from ursabench_tpu.inference.vectorized import MethodSweep
+
+    splits, C = data.loaders(
+        "MNIST", None, batch_size=32, use_validation=False,
+        synthetic_n_train=128, synthetic_n_test=64,
+    )
+    module = models.get_model("MLP200MNIST").build(C)
+    hyps = [
+        {"lr": lr, "prior_std": 1.0, "alpha": 0.1, "num_samples": 2,
+         "burn_in_epochs": 1}
+        for lr in (0.005, 0.02, 0.05, 0.1)
+    ]
+    mesh = make_mesh(8)  # ('chain': 2, 'data': 4); K=4 configs, 2 per row
+    assert mesh.shape["data"] > 1
+
+    def run(mesh_arg):
+        sweep = MethodSweep(hyps, model=module, train=splits["train"],
+                            key=jax.random.PRNGKey(6), mesh=mesh_arg)
+        for _ in range(2):
+            sweep._run_epoch(noise_on=True)
+        return sweep
+
+    sharded = run(mesh)
+    leaf = jax.tree.leaves(sharded._state.params)[0]
+    assert len(leaf.sharding.device_set) == 8  # configs x data, all devices
+    single = run(None)
+    for a, b in zip(jax.tree.leaves(sharded._state.params),
+                    jax.tree.leaves(single._state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-5)
+    # the full hyperopt surface drives through the mesh too
+    from ursabench_tpu import tasks
+    from ursabench_tpu.hyperopt.vectorized import vectorized_random_search
+
+    def task_factory():
+        return tasks.Prediction(
+            {"in_distribution_test": splits["test"]}, C, metric_list=["ll"]
+        )
+
+    domain = [
+        {"name": "lr", "type": "continuous", "domain": (1e-3, 0.1),
+         "option": "logspace"},
+        {"name": "prior_std", "type": "constant", "domain": 1.0},
+        {"name": "alpha", "type": "constant", "domain": 0.1},
+        {"name": "num_samples", "type": "constant", "domain": 1},
+        {"name": "burn_in_epochs", "type": "constant", "domain": 0},
+    ]
+    best_hyp, best_obj, _, objs = vectorized_random_search(
+        domain, module, splits["train"], task_factory, N_evaluations=4,
+        seed=0, mesh=mesh,
+    )
+    assert len(objs) == 4 and best_obj == max(objs)
+    assert np.isfinite(best_obj)

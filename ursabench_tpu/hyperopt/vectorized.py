@@ -24,9 +24,13 @@ def vectorized_random_search(
     seed: int = 123,
     sgld: bool = False,
     inference_method: str = "SGHMC",
+    mesh=None,
 ):
     """Draw N configs uniformly over the domain (logspace-aware), run them
     as one MethodSweep, return (best_hyp, best_obj, hyp_list, obj_list).
+    A ('chain','data') ``mesh`` shards the N configs over its 'chain' axis
+    (chip-parallel configs; each config's batch data-sharded) — N must be a
+    multiple of mesh.shape['chain'].
 
     ``inference_method`` picks the sampler (SGHMC/SGLD/cSGHMC/cSGLD/SGD);
     the domain must pin the method's schedule-shape integers as constants
@@ -47,7 +51,7 @@ def vectorized_random_search(
             h["alpha"] = 1.0
     sweep = MethodSweep(hyps, model=module, train=train,
                         key=jax.random.PRNGKey(seed),
-                        method=inference_method)
+                        method=inference_method, mesh=mesh)
     objs = _finite_or_neg_inf(sweep.objectives(task_factory))
     i = int(np.argmax(objs))
     return hyps[i], float(objs[i]), hyps, [float(o) for o in objs]
@@ -71,11 +75,15 @@ def batched_bayesopt(
     sgld: bool = False,
     verbose: int = 0,
     inference_method: str = "SGHMC",
+    mesh=None,
 ):
     """TPU-native batched Bayesian optimization (BASELINE.md config 5):
     each BO round proposes q diverse UCB candidates and evaluates ALL of
     them in one vectorized MethodSweep (any epoch-driven method) — the
     per-round wall time is ~one configuration's training run instead of q.
+    With a ('chain','data') ``mesh`` the q candidates of every round train
+    chip-parallel over the 'chain' axis (q and init_evaluations must be
+    multiples of mesh.shape['chain']).
 
     Returns (best_hyp, best_obj, hyp_list, obj_list).
     """
@@ -97,7 +105,7 @@ def batched_bayesopt(
                 h["alpha"] = 1.0
         sweep = MethodSweep(hyps, model=module, train=train,
                             key=jax.random.PRNGKey(seed),
-                            method=inference_method)
+                            method=inference_method, mesh=mesh)
         return hyps, _finite_or_neg_inf(sweep.objectives(task_factory))
 
     hyp_list, obj_list = evaluate(pts)

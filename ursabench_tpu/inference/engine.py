@@ -200,11 +200,10 @@ def make_epoch_fn(
         streaming_epoch_fn._cache_size = step._cache_size
         return streaming_epoch_fn
     if data_mesh:
-        assert not vmap_hyp, "vmap_hyp sweeps don't take a data mesh (yet)"
         return _make_sharded_epoch_fn(
             module, split, lr_fn=lr_fn, update_fn=update_fn,
             use_augment=use_augment, chains=chains, mesh=mesh,
-            chain_strategy=chain_strategy,
+            chain_strategy=chain_strategy, vmap_hyp=vmap_hyp,
         )
     assert not (vmap_hyp and chains == 1), "vmap_hyp requires chains/K > 1"
     images, labels = split.device_arrays()
@@ -324,9 +323,19 @@ def _make_sharded_epoch_fn(
     chains: int,
     mesh,
     chain_strategy: str = "auto",
+    vmap_hyp: bool = False,
 ):
     """('chain', 'data')-sharded variant of the epoch program (multi-chip
     SGHMC as a first-class sampler mode, not a demo step).
+
+    ``vmap_hyp=True`` turns the chain axis into a CONFIG axis exactly as in
+    the single-device epoch (make_epoch_fn docstring): the hyp dict's
+    leaves carry a leading ``chains`` axis SHARDED over 'chain', so K
+    hyperparameter configurations train chip-parallel — the mesh half of
+    SURVEY §2.9's config-parallelism row (the reference fans out one OS
+    process per config, hyper_optimization.py:171-201; here the configs
+    ride the same collective-free chain rows as sampler chains do, each
+    row's batch optionally data-sharded over 'data').
 
     Semantics match the single-device epoch exactly: per-chain permutation
     streams (the permutation key is chain state, identical across a chain's
@@ -351,6 +360,7 @@ def _make_sharded_epoch_fn(
     chain_shards = mesh.shape["chain"]
     data_shards = mesh.shape["data"]
     assert chains % chain_shards == 0, (chains, chain_shards)
+    assert not (vmap_hyp and chains == 1), "vmap_hyp requires chains/K > 1"
     assert bsz % data_shards == 0, (bsz, data_shards)
     local_bsz = bsz // data_shards
     # chains_per_device > 1 blocks hit the same grouped-convolution
@@ -378,7 +388,7 @@ def _make_sharded_epoch_fn(
     def local_epoch(state: TrainState, images, labels, epoch, noise_on, hyp):
         data_idx = jax.lax.axis_index("data")
 
-        def one_chain(st: TrainState):
+        def one_chain(st: TrainState, hyp: dict):
             key, k_perm, k_aug, k_noise, k_drop = jax.random.split(st.key, 5)
             perm = jax.random.permutation(k_perm, n)
             if pad:
@@ -436,23 +446,27 @@ def _make_sharded_epoch_fn(
             return TrainState(params, mom, bstats, key, step), losses.mean()
 
         if chains == 1:  # pure data parallelism: unstacked, replicated state
-            return one_chain(state)
+            return one_chain(state, hyp)
+        hyp_axis = 0 if vmap_hyp else None
         if chain_strategy == "vmap":
-            return jax.vmap(one_chain)(state)
+            return jax.vmap(one_chain, in_axes=(0, hyp_axis))(state, hyp)
 
-        def chain_body(_, st):
-            return None, one_chain(st)
+        def chain_body(_, xs):
+            st, h = xs if vmap_hyp else (xs, hyp)
+            return None, one_chain(st, h)
 
-        _, (new_state, losses) = jax.lax.scan(chain_body, None, state)
+        xs = (state, hyp) if vmap_hyp else state
+        _, (new_state, losses) = jax.lax.scan(chain_body, None, xs)
         return new_state, losses
 
     state_spec = P("chain") if chains > 1 else P()
+    hyp_spec = P("chain") if (vmap_hyp and chains > 1) else P()
 
     def _build():
         sharded = jax.shard_map(
             local_epoch,
             mesh=mesh,
-            in_specs=(state_spec, P(), P(), P(), P(), P()),
+            in_specs=(state_spec, P(), P(), P(), P(), hyp_spec),
             out_specs=(state_spec, state_spec),
             check_vma=False,
         )
@@ -460,7 +474,7 @@ def _make_sharded_epoch_fn(
 
     key = ("sharded_epoch", module, spec, n, bsz, str(images.dtype),
            str(labels.dtype), lr_fn, update_fn, use_augment, chains,
-           chain_strategy, mesh)
+           chain_strategy, vmap_hyp, mesh)
     jitted = _cached_program(key, _build)
 
     # data as jit arguments (not closure constants): keeps the compiled

@@ -73,7 +73,8 @@ class MethodSweep:
 
     def __init__(self, hyp_list: Sequence[dict], model=None, train=None,
                  key=None, method: str = "SGHMC",
-                 eta_min_fraction: float = 0.0, chain_strategy: str = "auto"):
+                 eta_min_fraction: float = 0.0, chain_strategy: str = "auto",
+                 mesh=None):
         assert len(hyp_list) >= 1
         del eta_min_fraction  # ctor semantics == each sampler's ctor (0.0)
         self.module = model
@@ -102,12 +103,26 @@ class MethodSweep:
         self._hyp_vec = tree_stack(
             [s._hyp_scalars for s in self._samplers]
         )
+        if mesh is not None:
+            # configs ride the mesh's 'chain' axis (SURVEY §2.9 config
+            # parallelism: K configs train chip-parallel, each config's
+            # batch data-sharded over 'data'). State AND the hyp vector
+            # shard over 'chain' — the epoch program's in_specs match.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert self.K % mesh.shape["chain"] == 0, (
+                self.K, dict(mesh.shape))
+            sharding = NamedSharding(mesh, P("chain"))
+            put = lambda t: jax.tree.map(
+                lambda x: jax.device_put(x, sharding), t)
+            self._state = put(self._state)
+            self._hyp_vec = put(self._hyp_vec)
         for s in self._samplers:  # K per-config param copies now live in
             s._state = None       # the stacked state; drop the originals
         self._epoch_fn = make_epoch_fn(
             self.module, self.train, lr_fn=cls._LR_FN,
             update_fn=cls._UPDATE_FN, chains=self.K, vmap_hyp=True,
-            chain_strategy=chain_strategy,
+            chain_strategy=chain_strategy, mesh=mesh,
         )
         self.epochs_run = 0
 
