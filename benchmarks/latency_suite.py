@@ -37,14 +37,20 @@ def main():
     enable_compilation_cache()
     t00 = time.perf_counter()
     K_BY_MODEL_BATCH = {
-        ("PreResNet20", 1): 20000,
-        ("PreResNet20", 128): 2000,
-        ("WideResNet28x10", 1): 1000,   # ~1.6 ms/fwd: RPC term 1.7%
-        ("WideResNet28x10", 128): 100,  # >=10 ms/fwd: RPC term <0.3%
+        # MLP ensembles: the reference's table spans MLPEnsemble/
+        # MLPEnsemble2 (trtprof/utils.py:22-128, make_table.py:26-83);
+        # a bs1 MLP forward is ~us-scale so K must drown the ~28 ms
+        # fetch RPC (amortization rule)
+        ("MLP200MNIST", "MNIST", 1): 100000,
+        ("MLP200MNIST", "MNIST", 128): 10000,
+        ("PreResNet20", "CIFAR10", 1): 20000,
+        ("PreResNet20", "CIFAR10", 128): 2000,
+        ("WideResNet28x10", "CIFAR10", 1): 1000,  # ~1.6 ms/fwd: RPC 1.7%
+        ("WideResNet28x10", "CIFAR10", 128): 100,  # >=10 ms/fwd: RPC <0.3%
     }
-    for (model, batch_size), loop_k in K_BY_MODEL_BATCH.items():
+    for (model, dataset, batch_size), loop_k in K_BY_MODEL_BATCH.items():
         configs = [
-            ProfileConfig(model, "CIFAR10", prec, s, batch_size)
+            ProfileConfig(model, dataset, prec, s, batch_size)
             for prec in ("fp32", "bf16", "int8")
             for s in (1, 6)
         ]

@@ -30,6 +30,7 @@ import time
 import numpy as np
 
 from imagenet_train_bench import SIZE, CH, CLASSES
+from rn50_common import make_fwd_bwd_k, timed_best_per_iter
 
 ASSET = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "assets",
@@ -43,7 +44,6 @@ REPS = 3
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
     from ursabench_tpu import models
     from ursabench_tpu.data.transforms import ImageSpec
@@ -59,16 +59,6 @@ def main():
     params, bstats = v["params"], v.get("batch_stats", {})
     peak, _ = device_peaks()
 
-    def loss_fn(p, b, x, y):
-        variables = {"params": p}
-        if b:
-            variables["batch_stats"] = b
-        logits, mut = module.apply(variables, x, train=True,
-                                   mutable=["batch_stats"])
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-        return ce.mean(), mut.get("batch_stats", {})
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     out = {"device": str(jax.devices()[0]),
            "model": f"TVResNet50 {SIZE}^2/{CLASSES}-way bf16 fwd_bwd",
            "rows": {}}
@@ -80,26 +70,10 @@ def main():
         k = max(10, int(40 * 128 / batch))
         x0 = jnp.zeros((batch,) + spec.shape, jnp.float32)
         y0 = jnp.zeros((batch,), jnp.int32)
-
-        def fwd_bwd_k(params, bstats, x, y):
-            def body(_, carry):
-                xi, acc = carry
-                (loss, _), grads = grad_fn(params, bstats, xi, y)
-                gsum = sum(jnp.sum(g.astype(jnp.float32))
-                           for g in jax.tree.leaves(grads))
-                s = loss + jnp.float32(1e-30) * gsum
-                return (x + jnp.float32(1e-30) * s, acc + s)
-
-            return jax.lax.fori_loop(0, k, body, (x, jnp.float32(0.0)))[1]
-
-        fn = jax.jit(fwd_bwd_k)
-        np.asarray(fn(params, bstats, x0, y0))  # compile + first exec
-        np.asarray(fn(params, bstats, x0, y0))
-        best = float("inf")
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            np.asarray(fn(params, bstats, x0, y0))
-            best = min(best, (time.perf_counter() - t0) / k)
+        # the SHARED harness (rn50_common): same program as rn50_decomp's
+        # committed fwd_bwd row
+        best = timed_best_per_iter(make_fwd_bwd_k(module, k), k, REPS,
+                                   params, bstats, x0, y0)
         row = {
             "ms": round(best * 1e3, 3),
             "images_per_sec": round(batch / best, 1),

@@ -30,6 +30,7 @@ import time
 import numpy as np
 
 from imagenet_train_bench import _synth_imagenet, BATCH, SIZE, CH, CLASSES
+from rn50_common import make_fwd_bwd_k, timed_best_per_iter
 
 ASSET = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "assets",
@@ -46,7 +47,6 @@ EPOCHS_PER_WINDOW = 4
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
     from ursabench_tpu import inference, models
     from ursabench_tpu.data.arrays import DataSplit
@@ -102,33 +102,10 @@ def main():
     row("fwd", timed_loop(jax.jit(fwd_k), K_FWD, params, bstats, x0),
         with_mfu=False)
 
-    # -- fwd + bwd ------------------------------------------------------------
-    def loss_fn(p, b, x, y):
-        variables = {"params": p}
-        if b:
-            variables["batch_stats"] = b
-        logits, mut = module.apply(variables, x, train=True,
-                                   mutable=["batch_stats"])
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-        return ce.mean(), mut.get("batch_stats", {})
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-    def fwd_bwd_k(params, bstats, x, y):
-        def body(_, carry):
-            xi, acc = carry
-            (loss, _), grads = grad_fn(params, bstats, xi, y)
-            # every grad leaf feeds the carry: keeping only one leaf lets
-            # XLA dead-code-eliminate the other leaves' weight-grad matmuls
-            gsum = sum(jnp.sum(g.astype(jnp.float32))
-                       for g in jax.tree.leaves(grads))
-            s = loss + jnp.float32(1e-30) * gsum
-            return (x + jnp.float32(1e-30) * s, acc + s)
-
-        return jax.lax.fori_loop(0, K_BWD, body, (x, jnp.float32(0.0)))[1]
-
-    row("fwd_bwd", timed_loop(jax.jit(fwd_bwd_k), K_BWD, params, bstats,
-                              x0, y0))
+    # -- fwd + bwd: the SHARED harness (rn50_common.make_fwd_bwd_k) so the
+    # batch-scaling cross-check provably times the same program ------------
+    row("fwd_bwd", timed_best_per_iter(
+        make_fwd_bwd_k(module, K_BWD), K_BWD, REPS, params, bstats, x0, y0))
 
     # -- production epoch step ----------------------------------------------
     images, labels = _synth_imagenet(N_TRAIN, seed=0)

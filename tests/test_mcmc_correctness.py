@@ -139,3 +139,51 @@ def test_hmc_large_model_energy():
     # 1e6 dims average the per-dim variance estimate very tightly
     v = flat.var(axis=0).mean()
     assert v == pytest.approx(1.0 / tau, rel=0.35)
+
+
+def test_mh_log_ratio_f64_oracle_at_wrn_scale():
+    """VERDICT r4 item 8: the FULL f32 MH log-ratio (hmc.py:237-239 — CE
+    difference + difference-form prior and kinetic terms) vs a float64
+    oracle at EXACTLY WideResNet28x10's 36,489,290 parameters (PARITY.md's
+    motivating model, one order of magnitude above the old oracle test).
+    The state is prior-typical (||theta||^2 ~ d/tau, the regime where
+    absolute f32 energies are pure rounding noise: 0.5*tau*||theta||^2
+    ~ 1.8e7 > 2^24) and the move is leapfrog-sized, so the ~O(1)-nat
+    log-ratio must survive f32 to a few percent or MH acceptance at this
+    scale would be noise-driven."""
+    from ursabench_tpu.inference.hmc import _sq_diff_sum
+
+    d = 36_489_290  # WRN-28x10 param count (tests/test_models.py pins it)
+    tau, inv_mass, tau_out = 1.0, 1.0, 1.0
+    rng = np.random.default_rng(7)
+    theta = (rng.standard_normal(d) / np.sqrt(tau)).astype(np.float32)
+    move = (rng.standard_normal(d) * 2e-4).astype(np.float32)
+    theta_new = theta + move
+    p0 = rng.standard_normal(d).astype(np.float32)
+    p_move = (rng.standard_normal(d) * 2e-4).astype(np.float32)
+    p_new = p0 + p_move
+    # CE sums are O(n log C) (~1e2 here) — f32-exact at this magnitude
+    ll_cur, ll_new = np.float32(181.25), np.float32(180.75)
+
+    f64 = np.float64
+    exact = (tau_out * (f64(ll_cur) - f64(ll_new))
+             - 0.5 * tau * (np.sum(theta_new.astype(f64) ** 2)
+                            - np.sum(theta.astype(f64) ** 2))
+             - 0.5 * inv_mass * (np.sum(p_new.astype(f64) ** 2)
+                                 - np.sum(p0.astype(f64) ** 2)))
+    stable = float(
+        tau_out * (jnp.float32(ll_cur) - jnp.float32(ll_new))
+        - 0.5 * tau * _sq_diff_sum(jnp.asarray(theta_new), jnp.asarray(theta))
+        - 0.5 * inv_mass * _sq_diff_sum(jnp.asarray(p_new), jnp.asarray(p0))
+    )
+    naive = float(
+        (0.5 * tau * jnp.sum(jnp.asarray(theta) ** 2)
+         + 0.5 * inv_mass * jnp.sum(jnp.asarray(p0) ** 2))
+        - (0.5 * tau * jnp.sum(jnp.asarray(theta_new) ** 2)
+           + 0.5 * inv_mass * jnp.sum(jnp.asarray(p_new) ** 2))
+        + tau_out * (jnp.float32(ll_cur) - jnp.float32(ll_new))
+    )
+    assert abs(exact) > 0.1  # the ratio itself is O(1): a real MH decision
+    assert abs(stable - exact) / abs(exact) < 0.03
+    # the absolute-energy form has lost the decision entirely at this scale
+    assert abs(naive - exact) > 10 * abs(stable - exact)

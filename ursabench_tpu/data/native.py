@@ -176,7 +176,7 @@ def gather_u8(
     return out_x, out_y
 
 
-_RING_DEPTH = 3  # host staging slots in flight (device_put may defer reads)
+_RING_DEPTH = 2  # overlaps the C++ worker's gather with the consumer's put
 
 
 class _StagingRing:
@@ -185,34 +185,54 @@ class _StagingRing:
     With the TPU PJRT plugin loaded, anonymous first-touch page faults run
     ~170x slower (~25 MB/s) than warm pages — a fresh ``np.empty``/``.copy()``
     per batch was the streamed path's actual bottleneck at ImageNet shapes
-    (19 MB/batch => ~0.6 s/batch of pure fault cost; the r4 2.6%-MFU
+    (19 MB/batch => ~0.9 s/batch of pure fault cost; the r4 2.6%-MFU
     finding). The ring allocates ``depth`` slots ONCE and reuses them
-    forever: the only fault cost is the first lap. ``device_put`` may defer
-    reading the host buffer, so each slot remembers the device arrays it
-    produced and blocks on their transfer before the slot is overwritten
-    (a full lap later — by then the consumer has long since trained on
-    them, so the block is effectively free)."""
+    forever: the only fault cost is the first lap.
+
+    Slot-reuse safety is NOT guarded with ``block_until_ready``: on the
+    remote-TPU tunnel that call acts as an expensive queue sync (measured
+    ~0.5 s/batch of acquire wait + 1.5 s/batch of poisoned step dispatch,
+    collapsing streamed throughput 10x below the r4 copy-per-batch
+    number). Instead: ALIASING backends (CPU zero-copies aligned numpy
+    buffers — the yielded Array IS the slot) are detected once by a
+    deterministic probe (HostStreamingSplit._probe_put_mode) and get a
+    fresh copy per batch; non-aliasing backends reuse slots guarded by a
+    FENCE — before a slot is overwritten, one scalar that depends on the
+    slot's lap-old device arrays is fetched to host (the only reliable
+    sync on the tunnel, ~28 ms; the axon put serializes host bytes
+    synchronously so the fence never actually waits there, and chunk mode
+    amortizes it over M batches)."""
 
     def __init__(self, x_shape, x_dtype, y_len, depth=_RING_DEPTH):
         self.x = [np.empty(x_shape, x_dtype) for _ in range(depth)]
         self.y = [np.empty(y_len, np.int32) for _ in range(depth)]
-        self.dev = [None] * depth
+        self.dev = [None] * depth  # (xd, yd) pending per slot (reuse mode)
         self.depth = depth
         self._i = 0
+        self._fence_fn = None
 
     def acquire(self):
-        """Return the next slot index, blocking until its previous device
-        arrays (one lap ago) are safe to overwrite."""
+        """Return the next slot index to fill, fencing its lap-old device
+        arrays (reuse mode) so their host->device read provably completed."""
         i = self._i % self.depth
+        self._i += 1
         if self.dev[i] is not None:
-            for arr in self.dev[i]:
-                arr.block_until_ready()
+            xd, yd = self.dev[i]
             self.dev[i] = None
+            if self._fence_fn is None:
+                import jax
+                import jax.numpy as jnp
+
+                self._fence_fn = jax.jit(
+                    lambda x, y: x.reshape(-1)[0].astype(jnp.int32)
+                    + y.reshape(-1)[0]
+                )
+            np.asarray(self._fence_fn(xd, yd))
         return i
 
-    def commit(self, i, dev_arrays):
-        self.dev[i] = dev_arrays
-        self._i += 1
+    def commit(self, i, xd, yd):
+        """Record slot i's device arrays for the overwrite fence."""
+        self.dev[i] = (xd, yd)
 
 
 class HostStreamingSplit:
@@ -243,9 +263,11 @@ class HostStreamingSplit:
 
     def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
                  spec, shuffle: bool = True, seed: int = 0,
-                 transfer_dtype: str = "uint8", chunk_batches: int = 1):
+                 transfer_dtype: str = "uint8", chunk_batches: int = 1,
+                 stage_depth: int = _RING_DEPTH):
         assert transfer_dtype in ("uint8", "float32"), transfer_dtype
         assert chunk_batches >= 1, chunk_batches
+        assert stage_depth >= 1, stage_depth
         self.images = images
         self.labels = labels
         self.batch_size = batch_size
@@ -254,8 +276,10 @@ class HostStreamingSplit:
         self.seed = seed
         self.transfer_dtype = transfer_dtype
         self.chunk_batches = chunk_batches
+        self.stage_depth = stage_depth
         self._epoch = 0
         self._ring = None
+        self._put_mode = None  # decided by _probe_put_mode on first put
         self._handle = None
         self._handle_refs = None  # keeps the arrays the C++ stream points at
 
@@ -292,29 +316,68 @@ class HostStreamingSplit:
                     (self.chunk_batches, self.batch_size))
         return ((self.batch_size,) + item, (self.batch_size,))
 
-    def _stage_and_put(self, jax, ring, i, sharding):
-        """device_put slot i (reshaped to the chunked view when M>1).
+    def _probe_put_mode(self, jax, x, sharding):
+        """Detect ALIASING device_put backends ONCE per split: put the
+        (real, about-to-be-yielded) staged buffer, flip one byte, fetch
+        that element back, restore the byte. An aliasing backend (the CPU
+        test backend zero-copies aligned numpy buffers: the returned Array
+        IS the slot) deterministically reads the mutated byte — slot reuse
+        would corrupt yielded batches, so every batch gets a fresh copy. A
+        non-aliasing backend took (or will take) its own copy of the
+        original bytes — slots are reused with the overwrite fence
+        (_StagingRing.acquire) guaranteeing the copy completed, which
+        also makes a deferred-async copy racing this probe harmless: the
+        worst misread direction (async copy lands after the mutation,
+        reads mutated byte) selects 'copy' — safe, just slower. Returns
+        (mode, xd_or_None).
 
-        The CPU backend ZERO-COPIES suitably-aligned numpy buffers — the
-        returned Array aliases the staging slot, so slot reuse would corrupt
-        already-yielded batches (and the aliasing decision is
-        alignment-dependent, so it can't be relied on either way): there we
-        hand device_put a fresh copy (CPU streaming is the test backend;
-        throughput doesn't matter). Non-CPU transfers serialize the host
-        bytes at put time (ring.acquire additionally blocks on the transfer
-        before a slot is overwritten), keeping the remote-TPU path
-        allocation-free."""
+        The CPU platform short-circuits to 'copy' WITHOUT probing:
+        zero-copy aliasing is per-buffer alignment-dependent there, so a
+        clean probe on slot 0 does not certify the other slots (observed:
+        slot-0 copied, slot-1 aliased, corrupted chunk contents). Aliasing
+        requires device memory == host memory, i.e. only the cpu platform;
+        every other backend owns its device memory and the probe is just a
+        guard against exotic semantics."""
         if sharding is not None:
             platform = next(iter(sharding.device_set)).platform
         else:
             platform = jax.devices()[0].platform
+        if platform == "cpu":
+            return "copy", None
+        flat = x.reshape(-1)
+        orig = flat[:1].copy()
+        xd = jax.device_put(x, sharding)
+        flat[0] = (orig[0] ^ 1) if flat.dtype.kind in "iu" else orig[0] + 1.0
+        seen = np.asarray(xd.reshape(-1)[0])
+        flat[0] = orig[0]
+        if seen == orig[0]:
+            return "reuse", xd
+        return "copy", None
+
+    def _stage_and_put(self, jax, ring, i, sharding):
+        """device_put slot i (reshaped to the chunked view when M>1).
+
+        The put mode comes from a one-time behavioral probe
+        (``_probe_put_mode``): 'reuse' backends ship the staging slot
+        directly — zero per-batch allocation (the r4 2.6%-MFU finding was
+        fresh-copy anonymous-fault cost: ~0.9 s/batch at ImageNet shapes)
+        — with the ring's fetch-fence guarding overwrite; 'copy' backends
+        (CPU zero-copy aliasing) get a fresh copy per batch (CPU streaming
+        is the test backend; throughput doesn't matter)."""
         xs, ys = self._yield_shapes()
         x, y = ring.x[i].reshape(xs), ring.y[i].reshape(ys)
-        if platform == "cpu":
+        if self._put_mode is None:
+            self._put_mode, xd = self._probe_put_mode(jax, x, sharding)
+            if self._put_mode == "reuse" and xd is not None:
+                yd = jax.device_put(y, sharding)
+                ring.commit(i, xd, yd)
+                return xd, yd
+        if self._put_mode == "copy":
             x, y = x.copy(), y.copy()
         xd = jax.device_put(x, sharding)
         yd = jax.device_put(y, sharding)
-        ring.commit(i, (xd, yd))
+        if self._put_mode == "reuse":
+            ring.commit(i, xd, yd)
         return xd, yd
 
     def epoch(self, sharding=None) -> Iterator:
@@ -337,7 +400,8 @@ class HostStreamingSplit:
         if self._ring is None:
             item = int(np.prod(self.images.shape[1:]))
             self._ring = _StagingRing(
-                (rows, item), np.uint8 if u8 else np.float32, rows)
+                (rows, item), np.uint8 if u8 else np.float32, rows,
+                depth=self.stage_depth)
         lib = _load_lib()
         # native contract (dataio.cc ursa_stream_create): <=16 channels
         # (float32 mode only — uint8 mode has no host affine), n >= batch;
