@@ -177,6 +177,7 @@ def gather_u8(
 
 
 _RING_DEPTH = 2  # overlaps the C++ worker's gather with the consumer's put
+_BACKLOG_BYTES = 256_000_000  # max un-fenced upload backlog (reuse mode)
 
 
 class _StagingRing:
@@ -189,50 +190,66 @@ class _StagingRing:
     finding). The ring allocates ``depth`` slots ONCE and reuses them
     forever: the only fault cost is the first lap.
 
-    Slot-reuse safety is NOT guarded with ``block_until_ready``: on the
-    remote-TPU tunnel that call acts as an expensive queue sync (measured
-    ~0.5 s/batch of acquire wait + 1.5 s/batch of poisoned step dispatch,
-    collapsing streamed throughput 10x below the r4 copy-per-batch
-    number). Instead: ALIASING backends (CPU zero-copies aligned numpy
-    buffers — the yielded Array IS the slot) are detected once by a
-    deterministic probe (HostStreamingSplit._probe_put_mode) and get a
-    fresh copy per batch; non-aliasing backends reuse slots guarded by a
-    FENCE — before a slot is overwritten, one scalar that depends on the
-    slot's lap-old device arrays is fetched to host (the only reliable
-    sync on the tunnel, ~28 ms; the axon put serializes host bytes
-    synchronously so the fence never actually waits there, and chunk mode
-    amortizes it over M batches)."""
+    Slot-reuse safety needs NO per-batch sync in reuse mode: the put-mode
+    probe (HostStreamingSplit._probe_put_mode) verifies the backend
+    CAPTURES the host bytes before ``device_put`` returns (a multi-MB
+    deferred read cannot win the probe's ~µs mutate race), so overwriting
+    a slot after its put returned is safe. ALIASING backends (CPU
+    zero-copies aligned numpy buffers — the yielded Array IS the slot)
+    probe as 'copy' and get a fresh copy per batch instead.
+
+    What reuse mode DOES need is bounded backpressure: the tunnel's put
+    captures into an internal staging copy and uploads asynchronously, so
+    an unfenced loop queues uploads without bound (memory growth on long
+    epochs). Earlier designs paid per-batch syncs and collapsed to half
+    the wire rate or worse — measured on-chip: put+step with NO sync runs
+    at 42.5 MB/s (the put+sum ceiling, training fully overlapped), a
+    per-batch fence fetch drags it to 22.9, block_until_ready to ~10.
+    The strided fence keeps the wire rate while bounding the upload
+    backlog to ~2 strides (~2x _BACKLOG_BYTES)."""
 
     def __init__(self, x_shape, x_dtype, y_len, depth=_RING_DEPTH):
         self.x = [np.empty(x_shape, x_dtype) for _ in range(depth)]
         self.y = [np.empty(y_len, np.int32) for _ in range(depth)]
-        self.dev = [None] * depth  # (xd, yd) pending per slot (reuse mode)
         self.depth = depth
         self._i = 0
         self._fence_fn = None
+        self._pending = []
+        slot_bytes = int(np.prod(x_shape)) * np.dtype(x_dtype).itemsize
+        self._fence_stride = max(1, min(16, _BACKLOG_BYTES // max(slot_bytes,
+                                                                  1)))
+        self._commits = 0
 
     def acquire(self):
-        """Return the next slot index to fill, fencing its lap-old device
-        arrays (reuse mode) so their host->device read provably completed."""
+        """Return the next slot index to fill."""
         i = self._i % self.depth
         self._i += 1
-        if self.dev[i] is not None:
-            xd, yd = self.dev[i]
-            self.dev[i] = None
-            if self._fence_fn is None:
-                import jax
-                import jax.numpy as jnp
-
-                self._fence_fn = jax.jit(
-                    lambda x, y: x.reshape(-1)[0].astype(jnp.int32)
-                    + y.reshape(-1)[0]
-                )
-            np.asarray(self._fence_fn(xd, yd))
         return i
 
     def commit(self, i, xd, yd):
-        """Record slot i's device arrays for the overwrite fence."""
-        self.dev[i] = (xd, yd)
+        """Strided backpressure (reuse mode): every stride-th transfer
+        contributes a one-scalar fence; at most one fence stays
+        outstanding, so the upload backlog is bounded without a per-batch
+        device->host round trip."""
+        del i, yd  # y transfers are ~KB, FIFO behind x: x fences suffice
+        self._commits += 1
+        if self._commits % self._fence_stride:
+            return
+        if self._fence_fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            self._fence_fn = jax.jit(
+                lambda x: x.reshape(-1)[0].astype(jnp.int32))
+        self._pending.append(self._fence_fn(xd))
+        if len(self._pending) > 1:
+            np.asarray(self._pending.pop(0))
+
+    def drain(self):
+        """Fetch all outstanding fences (epoch end)."""
+        for p in self._pending:
+            np.asarray(p)
+        self._pending = []
 
 
 class HostStreamingSplit:
@@ -439,6 +456,7 @@ class HostStreamingSplit:
             if t + 1 < nt:
                 nxt = host_batch(t + 1)
             yield cur
+        ring.drain()
 
     def _ensure_stream(self, lib, mean, std, epoch_seed, u8):
         """Create the C++ prefetch stream once; later epochs REUSE it via
@@ -494,5 +512,6 @@ class HostStreamingSplit:
             bi = nxt(handle, _ptr(ring.x[i], ct),
                      _ptr(ring.y[i], ctypes.c_int32))
             if bi < 0:
+                ring.drain()
                 return
             yield self._stage_and_put(jax, ring, i, sharding)
