@@ -46,6 +46,52 @@ def make_fwd_bwd_k(module, k):
     return jax.jit(fwd_bwd_k)
 
 
+def make_dynamic_k_timer(reps=2):
+    """Single-op timing harness shared by rn50_conv_decomp and the 1x1/stem
+    lowering probe — an A/B between the two is only meaningful if both time
+    the same program shape (same motivation as the fwd_bwd harness above).
+
+    Returns timed(fn, carried, fixed, ideal_s): K applications of
+    fn(carried, *fixed) inside one jitted while-loop program with K as a
+    TRACED argument (one program per op, re-timed at larger K without
+    recompiling). The carried tensor is perturbed by 1e-30*sum(out) each
+    iteration so the body can't be hoisted out of the loop. Returns best
+    seconds/iteration over ``reps`` windows of >=1.5 s actual, sync'd by a
+    device->host fetch (the only reliable sync over the tunnel)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def timed(fn, carried, fixed, ideal_s):
+        def loop(c0, k, *fx):
+            def body(_, carry):
+                c, acc = carry
+                o = fn(c, *fx)
+                s = jnp.sum(o.astype(jnp.float32))
+                c = c + (s * jnp.float32(1e-30)).astype(c.dtype)
+                return (c, acc + s)
+
+            return jax.lax.fori_loop(0, k, body, (c0, jnp.float32(0.0)))[1]
+
+        jf = jax.jit(loop)
+        k1 = max(4, int(0.3 / max(ideal_s, 1e-5)))
+        np.asarray(jf(carried, k1, *fixed))  # compile + first exec
+        t0 = time.perf_counter()
+        np.asarray(jf(carried, k1, *fixed))
+        per = (time.perf_counter() - t0) / k1
+        k2 = max(k1, int(1.5 / per))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jf(carried, k2, *fixed))
+            best = min(best, (time.perf_counter() - t0) / k2)
+        return best
+
+    return timed
+
+
 def timed_best_per_iter(fn, k, reps, *args):
     """Best-of-reps seconds per loop iteration; warmup = compile + first
     exec + one steady call, sync by device->host fetch (the only reliable
