@@ -96,3 +96,40 @@ def test_registry_contents():
         "ResNet_dropout", "LeNet5MNIST",
     }
     assert expected <= names
+
+
+def test_tvresnet_s2d_stem_is_exact():
+    """TVResNet's space-to-depth stem (the one measured rewrite win from
+    the rn50 lowering probe) is mathematically identical to the direct
+    7x7/2 conv: same param tree (torchvision kernel shape preserved), same
+    logits, same gradients, on even AND odd (fallback path) input sizes."""
+    from ursabench_tpu.models.resnet_imagenet import TVResNet
+
+    for h in (64, 63):
+        a = TVResNet(layers=(2, 2, 2, 2), bottleneck=False, num_classes=7,
+                     stem_s2d=True)
+        b = TVResNet(layers=(2, 2, 2, 2), bottleneck=False, num_classes=7,
+                     stem_s2d=False)
+        va = init_variables(a, jax.random.PRNGKey(0), (h, h, 3))
+        vb = init_variables(b, jax.random.PRNGKey(0), (h, h, 3))
+        # identical param trees: the s2d stem keeps the (7,7,3,64) kernel
+        assert jax.tree.structure(va["params"]) == jax.tree.structure(
+            vb["params"])
+        for la, lb in zip(jax.tree.leaves(va["params"]),
+                          jax.tree.leaves(vb["params"])):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, h, h, 3))
+        ya = a.apply(va, x, train=False)
+        yb = b.apply(vb, x, train=False)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-4, atol=1e-4)
+
+        def loss(fn, v):
+            return lambda p: jnp.sum(
+                fn.apply({**v, "params": p}, x, train=False) ** 2)
+
+        ga = jax.grad(loss(a, va))(va["params"])
+        gb = jax.grad(loss(b, vb))(vb["params"])
+        for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=2e-3, atol=2e-3)

@@ -9,6 +9,7 @@ shortcut, kaiming-normal init, final 4x4 avg pool.
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..data.transforms import (CIFAR_TEST, CIFAR_TRAIN, IMAGENET_TEST,
@@ -97,6 +98,46 @@ class INResNet(nn.Module):
         )(out)
 
 
+class _SpaceToDepthStem(nn.Module):
+    """The 7x7/2 pad-3 stem conv computed on 2x2 space-to-depth input —
+    mathematically exact and measured 1.32x (fwd) / 1.19x (wgrad) on v5e
+    (assets/rn50_conv_lowering_probe.json): Cin=3 wastes the MXU's
+    128-lane contraction dim, Cin=12 with a 4x4 kernel wastes 4x less.
+
+    Derivation (benchmarks/rn50_conv_lowering_probe.stem_s2d): writing the
+    7x7 tap offset u-3 = 2t+r (r in {0,1}) maps the stride-2 conv to a
+    stride-1 4x4 conv over (H/2, W/2, 4C) with padding (2,1) and kernel
+    w4[k, r-channel] = w[2k+r-1] — i.e. the original kernel zero-padded at
+    the FRONT of each spatial dim and reshaped. The parameter keeps the
+    torchvision (7,7,C,F) shape, so init, checkpoints, and param counts
+    are unchanged."""
+
+    features: int = 64
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        w = self.param("kernel", fan_out_normal_init,
+                       (7, 7, c, self.features))
+        x, w = nn.dtypes.promote_dtype(x, w, dtype=self.dtype)
+        n, h, ww, _ = x.shape
+        if h % 2 or ww % 2:  # odd input: fall back to the direct form
+            return jax.lax.conv_general_dilated(
+                x, w, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xs = x.reshape(n, h // 2, 2, ww // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, ww // 2,
+                                                    4 * c)
+        w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w4 = w8.reshape(4, 2, 4, 2, c, self.features)
+        w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c,
+                                                    self.features)
+        return jax.lax.conv_general_dilated(
+            xs, w4, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class TVResNet(nn.Module):
     """True ImageNet-stem ResNet — the torchvision architecture the
     reference's trtprof engine path loads for its 224^2 rn50 ensembles
@@ -105,22 +146,28 @@ class TVResNet(nn.Module):
     (imagenet_resnet.py:77 3x3/1 stem) does NOT provide: 7x7/2 stem +
     3x3/2 max-pool (16x fewer stage-1 pixels at 224^2), global average
     pool, torchvision init conventions (convs kaiming-normal fan_out,
-    fc torch-Linear default)."""
+    fc torch-Linear default). The stem is computed in space-to-depth form
+    by default (exact; see _SpaceToDepthStem)."""
 
     layers: Sequence[int]
     bottleneck: bool = False
     num_classes: int = 1000
     dropout: float = 0.0  # final-layer MC dropout (twin only)
     dtype: object = None  # compute dtype; params stay f32
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
         block = Bottleneck if self.bottleneck else BasicBlock
         expansion = 4 if self.bottleneck else 1
-        out = nn.relu(_bn(train, d)(
-            nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    kernel_init=fan_out_normal_init, dtype=d)(x)))
+        if self.stem_s2d:
+            stem = _SpaceToDepthStem(64, dtype=d, name="Conv_0")(x)
+        else:
+            stem = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                           use_bias=False, kernel_init=fan_out_normal_init,
+                           dtype=d, name="Conv_0")(x)
+        out = nn.relu(_bn(train, d)(stem))
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for planes, n, stride in zip((64, 128, 256, 512), self.layers, (1, 2, 2, 2)):
             for i in range(n):
