@@ -11,9 +11,12 @@ matrix completes in minutes):
   4. WRN-28x10 / CIFAR-100  — multi-chain SGHMC + OOD vs SVHN
   5. PreResNet-20           — vectorized batched-BO sweep over SGHMC lr/prior
 
-Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/baseline_suite.py
+Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/baseline_suite.py \
+           [--configs config4_wrn_cifar100_sghmc_ood ...]
+(--configs reruns a subset, merging into the existing artifact.)
 """
 
+import argparse
 import json
 import math
 import os
@@ -190,6 +193,17 @@ def config5(data_path):
 
 
 def main():
+    all_configs = [("config1_mlp_mnist_sgld", config1),
+                   ("config2_lenet_fashion_sghmc4_swa", config2),
+                   ("config3_preresnet_swag_deepensemble", config3),
+                   ("config4_wrn_cifar100_sghmc_ood", config4),
+                   ("config5_vectorized_bo_sweep", config5)]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", nargs="*",
+                    default=[n for n, _ in all_configs],
+                    choices=[n for n, _ in all_configs])
+    args = ap.parse_args()
+
     import jax
 
     from ursabench_tpu.util import enable_compilation_cache
@@ -198,14 +212,15 @@ def main():
     from ursabench_tpu.data.sources import _SYNTH_GEN_VERSION
 
     data_path = os.environ.get("URSA_DATA", "./data")
-    results = {"device": str(jax.devices()[0]),
-               "synth_gen": _SYNTH_GEN_VERSION,
-               "note": "reduced budgets (protocol shapes per BASELINE.md), sized so the calibrated synthetic difficulty trains to realistic operating points"}
-    for name, fn in [("config1_mlp_mnist_sgld", config1),
-                     ("config2_lenet_fashion_sghmc4_swa", config2),
-                     ("config3_preresnet_swag_deepensemble", config3),
-                     ("config4_wrn_cifar100_sghmc_ood", config4),
-                     ("config5_vectorized_bo_sweep", config5)]:
+    results = {}
+    if set(args.configs) != {n for n, _ in all_configs} \
+            and os.path.exists(ASSET):
+        with open(ASSET) as f:
+            results = json.load(f)  # subset rerun: merge into the artifact
+    results.update({"device": str(jax.devices()[0]),
+                    "synth_gen": _SYNTH_GEN_VERSION,
+                    "note": "reduced budgets (protocol shapes per BASELINE.md), sized so the calibrated synthetic difficulty trains to realistic operating points"})
+    for name, fn in [(n, f) for n, f in all_configs if n in args.configs]:
         t0 = time.perf_counter()
         results[name] = fn(data_path)
         results[name]["wall_seconds"] = round(time.perf_counter() - t0, 1)

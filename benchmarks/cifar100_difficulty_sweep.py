@@ -1,33 +1,33 @@
-"""Calibrate the synthetic CIFAR-100 difficulty for HIGH-CAPACITY models.
+"""Calibrate the CIFAR-100 synthetic difficulty to the WRN-28x10 operating
+point (VERDICT r4 item 4).
 
-VERDICT r4 weak-4: data/sources.resolve_difficulty targets trained models
-at 5-20% error, but config4 (WRN-28x10/CIFAR-100 SGHMC,
-benchmarks/baseline_suite.py) landed at 2.4% — the z=5.5 profile was
-calibrated on a nearest-empirical-mean proxy that a 36M-param model beats
-by 8x, so the uncertainty headline ran in an unrealistically easy regime.
-Real CIFAR-100 is a ~20-30%-error problem for WRN-28x10.
+The r4 profile (separation z=5.5) was calibrated on the nearest-empirical-
+mean proxy (~20% error) — but that proxy is a weak classifier: WRN-28x10
+trains to 2.4% error on the same data, pinned at the 2% label-noise floor,
+because Phi(-5.5) leaves essentially zero Bayes-level class overlap for a
+high-capacity model. Real CIFAR-100 is a ~20-30%-error problem for this
+architecture, and the framework's own design band
+(data/sources.resolve_difficulty) is 5-20%.
 
-This sweep trains the config4 model (shortened: 1 chain, burn 5, 2 draws)
-under candidate (separation, label_noise) profiles and reports test error.
-High capacity solves the learnable class structure, so the operating point
-must come mostly from IRREDUCIBLE noise: label_noise sets an aleatoric
-floor of ~label_noise*(k-1)/k and lower separation adds genuine Bayes
-overlap. The chosen profile goes into sources._SYNTH_DIFFICULTY and
-baseline_suite/ood_calibration are regenerated against it.
+This sweep trains config4's exact protocol (WRN-28x10, 2-chain SGHMC,
+burn 8 + 2 draws) at candidate separations and records BMA test error +
+CIFAR100<->SVHN OOD AUROC, so the production override
+(sources._SYNTH_DIFFICULTY['CIFAR100']) can be set where error lands in
+the band WITH the OOD task still discriminative (AUROC 0.65-0.9).
+Programs take data as jit arguments, so every candidate after the first
+costs train time only (no recompiles).
 
-Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/cifar100_difficulty_sweep.py
+Reference anchor: /root/reference/URSABench/tasks/ood_detection.py:107-130
+(the OOD protocol config4 drives).
+
+Usage: PYTHONPATH=/root/.axon_site:. python benchmarks/cifar100_difficulty_sweep.py \
+           [--separations 2.0 2.5 3.0 3.5]
 """
 
+import argparse
 import json
 import os
 import time
-
-CANDIDATES = [
-    {"separation": 5.5, "label_noise": 0.02},   # current (the 2.4% profile)
-    {"separation": 3.0, "label_noise": 0.10},
-    {"separation": 2.5, "label_noise": 0.15},
-    {"separation": 2.0, "label_noise": 0.18},
-]
 
 ASSET = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "assets",
@@ -36,39 +36,62 @@ ASSET = os.path.abspath(
 
 
 def main():
-    import jax
+    p = argparse.ArgumentParser()
+    p.add_argument("--separations", type=float, nargs="*",
+                   default=[2.0, 2.5, 3.0, 3.5])
+    p.add_argument("--field_overlaps", type=float, nargs="*", default=[None],
+                   help="cross-product rho candidates: lower rho makes OOD "
+                        "images less class-readable (higher OOD entropy), "
+                        "the counter-knob when lower separation raises "
+                        "in-dist entropy past the OOD side")
+    p.add_argument("--base_shifts", type=float, nargs="*", default=[None],
+                   help="cross-product base_shift candidates: smaller shift "
+                        "puts OOD between the in-dist class manifolds "
+                        "(genuinely ambiguous -> high OOD entropy) instead "
+                        "of far off-manifold (confidently-wrong logits)")
+    p.add_argument("--label_noises", type=float, nargs="*", default=[None],
+                   help="cross-product label_noise candidates: an ALEATORIC "
+                        "error floor of ~ln*(k-1)/k that leaves the class "
+                        "geometry (and so the model's confidence profile + "
+                        "OOD detectability) untouched — the knob that moves "
+                        "error into the band without inverting OOD AUROC")
+    args = p.parse_args()
 
-    from ursabench_tpu import data, inference, models, tasks
+    from ood_calibration import run_pair
     from ursabench_tpu.util import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = models.get_model("WideResNet28x10")
-    rows = []
-    for cand in CANDIDATES:
+
+    out = {"separations": args.separations, "rows": [],
+           "protocol": "config4: WRN-28x10 2-chain SGHMC burn8 draws2, "
+                       "CIFAR100 vs SVHN"}
+    if os.path.exists(ASSET):
+        try:
+            with open(ASSET) as f:
+                out = json.load(f)
+            out["separations"] = sorted(
+                set(out.get("separations", [])) | set(args.separations))
+        except Exception:
+            pass
+    candidates = [
+        {"separation": sep,
+         **({} if rho is None else {"field_overlap": rho}),
+         **({} if shift is None else {"base_shift": shift}),
+         **({} if ln is None else {"label_noise": ln})}
+        for sep in args.separations for rho in args.field_overlaps
+        for shift in args.base_shifts for ln in args.label_noises]
+    for diff in candidates:
         t0 = time.perf_counter()
-        splits, C = data.loaders(
-            "CIFAR100", None, batch_size=128, use_validation=False,
-            transform_train=cfg.transform_train,
-            transform_test=cfg.transform_test, difficulty=cand,
-        )
-        module = cfg.build(C)
-        s = inference.SGHMC(
-            {"lr": 0.05, "prior_std": 1.0, "num_samples": 2, "alpha": 0.1,
-             "burn_in_epochs": 5},
-            model=module, train=splits["train"], key=jax.random.PRNGKey(6),
-        )
-        ens = s.sample()
-        task = tasks.Prediction({"in_distribution_test": splits["test"]}, C,
-                                metric_list=["error_rate", "nll", "ece"])
-        task.update_statistics(ens, output_performance=False)
-        m = {k: float(v) for k, v in task.get_performance_metrics().items()}
-        row = {**cand, **m, "wall_s": round(time.perf_counter() - t0, 1)}
-        rows.append(row)
-        print(row, flush=True)
-    with open(ASSET, "w") as f:
-        json.dump({"model": "WRN-28x10 SGHMC burn5 x2 draws",
-                   "rows": rows}, f, indent=1)
-    print(json.dumps(rows))
+        row = run_pair(
+            "WideResNet28x10", "CIFAR100", ["SVHN"],
+            {"lr": 0.05, "prior_std": 1.0, "num_samples": 2,
+             "alpha": 0.1, "burn_in_epochs": 8}, chains=2,
+            difficulty=diff)
+        row["wall_s"] = round(time.perf_counter() - t0, 1)
+        out["rows"].append(row)
+        print(json.dumps(row), flush=True)
+        with open(ASSET, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

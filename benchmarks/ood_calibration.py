@@ -33,13 +33,19 @@ ASSET = os.path.abspath(
 )
 
 
-def run_pair(model_name, dataset, ood_names, hyp, chains, rho, seed=6):
+def run_pair(model_name, dataset, ood_names, hyp, chains, rho=None, seed=6,
+             difficulty=None):
+    """Train + eval one in-dist/OOD pairing under a difficulty override.
+    ``rho`` is the field_overlap shorthand the rho-sweep uses; pass
+    ``difficulty`` for arbitrary overrides (the separation sweep)."""
     import jax
 
     from ursabench_tpu import data, inference, models, tasks
 
     data_path = os.environ.get("URSA_DATA", "./data")
-    diff = {"field_overlap": rho}
+    diff = dict(difficulty or {})
+    if rho is not None:
+        diff["field_overlap"] = rho
     cfg = models.get_model(model_name)
     splits, C = data.loaders(dataset, data_path, batch_size=128,
                              use_validation=False,
@@ -54,6 +60,7 @@ def run_pair(model_name, dataset, ood_names, hyp, chains, rho, seed=6):
                             metric_list=["error_rate", "ece"])
     pred.update_statistics(ens, output_performance=False)
     row = {"rho": rho, "model": model_name, "dataset": dataset,
+           **({"difficulty": difficulty} if difficulty else {}),
            "in_dist": {k: float(v) for k, v in
                        pred.get_performance_metrics().items()}}
     for ood_name in ood_names:
