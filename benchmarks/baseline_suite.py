@@ -148,8 +148,10 @@ def config4(data_path):
         {"in_distribution_test": splits["test"],
          "out_distribution_test": ood_splits["test"]}, C)
     ood.update_statistics(ens, output_performance=False)
+    from ursabench_tpu.data.sources import resolve_difficulty
     return {
         "hyp": hyp, "chains": 2, "num_members": ens.num_members,
+        "difficulty": resolve_difficulty("CIFAR100"),
         "metrics": _predict(ens, splits, C,
                             metric_list=["error_rate", "nll", "ece"]),
         "ood_metrics": _clean(ood.get_performance_metrics()),

@@ -55,6 +55,12 @@ def main():
                         "geometry (and so the model's confidence profile + "
                         "OOD detectability) untouched — the knob that moves "
                         "error into the band without inverting OOD AUROC")
+    p.add_argument("--ood_default", action="store_true",
+                   help="resolve SVHN from its own production defaults "
+                        "instead of mirroring the candidate override — the "
+                        "production-true measurement: a "
+                        "_SYNTH_DIFFICULTY['CIFAR100'] override only "
+                        "touches the in-dist profile")
     args = p.parse_args()
 
     from ood_calibration import run_pair
@@ -86,7 +92,8 @@ def main():
             "WideResNet28x10", "CIFAR100", ["SVHN"],
             {"lr": 0.05, "prior_std": 1.0, "num_samples": 2,
              "alpha": 0.1, "burn_in_epochs": 8}, chains=2,
-            difficulty=diff)
+            difficulty=diff,
+            ood_difficulty=None if args.ood_default else "same")
         row["wall_s"] = round(time.perf_counter() - t0, 1)
         out["rows"].append(row)
         print(json.dumps(row), flush=True)

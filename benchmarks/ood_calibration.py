@@ -34,10 +34,16 @@ ASSET = os.path.abspath(
 
 
 def run_pair(model_name, dataset, ood_names, hyp, chains, rho=None, seed=6,
-             difficulty=None):
+             difficulty=None, ood_difficulty="same"):
     """Train + eval one in-dist/OOD pairing under a difficulty override.
     ``rho`` is the field_overlap shorthand the rho-sweep uses; pass
-    ``difficulty`` for arbitrary overrides (the separation sweep)."""
+    ``difficulty`` for arbitrary overrides (the separation sweep).
+    ``ood_difficulty`` defaults to "same" (the override applies to both
+    loaders — the historical sweep behavior); pass None to resolve the OOD
+    dataset from its own production defaults (the candidate-validation
+    mode: a production _SYNTH_DIFFICULTY override only touches the in-dist
+    profile, so the honest measurement leaves the OOD side alone), or a
+    dict for an explicit OOD-side override."""
     import jax
 
     from ursabench_tpu import data, inference, models, tasks
@@ -59,16 +65,24 @@ def run_pair(model_name, dataset, ood_names, hyp, chains, rho=None, seed=6,
     pred = tasks.Prediction({"in_distribution_test": splits["test"]}, C,
                             metric_list=["error_rate", "ece"])
     pred.update_statistics(ens, output_performance=False)
+    from ursabench_tpu.data.sources import resolve_difficulty
     row = {"rho": rho, "model": model_name, "dataset": dataset,
            **({"difficulty": difficulty} if difficulty else {}),
+           # self-describing rows: the production profile changed once
+           # (r5 CIFAR100 recalibration) and the early rows don't say
+           # which profile they were measured under
+           "resolved_difficulty": resolve_difficulty(dataset, diff or None),
            "in_dist": {k: float(v) for k, v in
                        pred.get_performance_metrics().items()}}
+    ood_diff = diff if ood_difficulty == "same" else (
+        dict(ood_difficulty) if ood_difficulty else None)
+    row["ood_difficulty"] = ood_diff
     for ood_name in ood_names:
         ood_splits, _ = data.loaders(ood_name, data_path, batch_size=128,
                                      use_validation=False,
                                      transform_train=cfg.transform_train,
                                      transform_test=cfg.transform_test,
-                                     difficulty=diff)
+                                     difficulty=ood_diff)
         ood = tasks.OODDetection(
             {"in_distribution_test": splits["test"],
              "out_distribution_test": ood_splits["test"]}, C)

@@ -285,7 +285,19 @@ _SYNTH_DIFFICULTY = {
     "MNIST": {"separation": 4.0},
     "FashionMNIST": {"separation": 4.0},
     "KMNIST": {"separation": 4.0},
-    "CIFAR100": {"separation": 5.5},
+    # CIFAR100: the nearest-mean proxy said z5.5 -> ~20%, but a trained
+    # WRN-28x10 (config4) reached 2.4% there — outside the 5-20% design
+    # band, pinned at the 2% label-noise floor. Re-calibrated against the
+    # trained model on the CIFAR100<->SVHN OOD pair
+    # (assets/cifar100_difficulty_sweep.json, r5): the knife-edge map has
+    # separation alone INVERTING OOD AUROC below z~4.6 (off-manifold SVHN
+    # draws genuine class evidence and scores LESS uncertain than hard
+    # in-dist images) and label noise >~0.05 regularizing the
+    # confidently-wrong logits so hard that AUROC saturates >0.93.
+    # z4.5 + 4% label noise lands seeds 6/7/8 at 6.0-6.4% error with
+    # total-AUROC 0.74-0.83, model-AUROC 0.87-0.94 — in band, not
+    # saturated, not inverted.
+    "CIFAR100": {"separation": 4.5, "label_noise": 0.04},
     "TIN": {"separation": 6.0},
     "LSUN": {"separation": 3.5},
     "CelebA": {"separation": 3.5},
