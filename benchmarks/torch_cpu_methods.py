@@ -329,6 +329,8 @@ def merge_comparison(cpu_path, out_path):
         if m + "_mean" in cpu:
             row["cpu_mean_s"] = round(cpu[m + "_mean"], 3)
             row["cpu_std_s"] = round(cpu[m + "_std"], 3)
+            if m + "_trials" in cpu:
+                row["cpu_trials"] = cpu[m + "_trials"]
         if m + "_mean" in tpu:
             row["tpu_mean_s"] = round(tpu[m + "_mean"], 3)
             row["tpu_std_s"] = round(tpu[m + "_std"], 3)
@@ -352,9 +354,18 @@ def merge_comparison(cpu_path, out_path):
     print(json.dumps(out))
 
 
+# Methods whose per-trial cost is a 21-51-epoch deterministic collection
+# sweep (cycle/iterate schedules survive the burn-in zeroing); their trial
+# variance is scheduler noise only, so fewer trials lose nothing while a
+# full T=10 costs ~40 min on this 1-core box.
+HEAVY = {"cSGHMC", "cSGLD", "SWAG"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--T", type=int, default=10)
+    ap.add_argument("--heavy_T", type=int, default=None,
+                    help="trial count for the HEAVY methods (default --T)")
     ap.add_argument("--methods", nargs="*", default=list(SAMPLERS))
     args = ap.parse_args()
     torch.manual_seed(0)
@@ -364,16 +375,18 @@ def main():
     for method in args.methods:
         hyp = normalize_burnin(method, load_tuned(method))
         fn = SAMPLERS[method]
-        times = np.zeros(args.T)
+        T = args.heavy_T if (method in HEAVY and args.heavy_T) else args.T
+        times = np.zeros(T)
         print(method, flush=True)
-        for t in range(args.T):
+        for t in range(T):
             t0 = time.perf_counter()
             draws = fn(hyp, x, y)
             times[t] = time.perf_counter() - t0
             assert len(draws) >= 1
             print(f"  trial {t}: {times[t]:.2f}s", flush=True)
         timer[method + "_mean"] = float(times.mean())
-        timer[method + "_std"] = float(times.std(ddof=1)) if args.T > 1 else 0.0
+        timer[method + "_std"] = float(times.std(ddof=1)) if T > 1 else 0.0
+        timer[method + "_trials"] = T
     cpu_path = os.path.join(ASSET_DIR, "method_times_mlp200_cpu.json")
     with open(cpu_path, "w") as f:
         json.dump(timer, f)
